@@ -1,0 +1,411 @@
+"""The global map: keyframes, map points, observations, covisibility.
+
+Replaces Map/KeyFrame/MapPoint (/root/reference/src/Map.cc:28-146,
+KeyFrame.cc, MapPoint.cc) with flat arrays:
+
+- keyframe block: poses [K,3,3]+[K,3] (Tcw), per-feature records [K,N,...],
+  feature->map-point binding kf_mp [K,N];
+- map-point block: positions [M,3], distinctive descriptors [M,8],
+  viewing normal + scale band, found/visible stats;
+- observation reverse index: mp_obs_kf/feat [M,O] (capped fan-in);
+- covisibility weights as a dense [K,K] int32 matrix (the reference's
+  per-KF weight maps, KeyFrame.cc:304-395) + spanning-tree parent array and
+  loop-edge sets (KeyFrame.cc:469-562 SetBadFlag reparenting semantics).
+
+Single-writer discipline: only the mapping pipeline mutates; tracking reads
+immutable snapshots. No locks — the Python GIL plus snapshot copies give the
+consistency the reference gets from Map::mMutexMapUpdate (Tracking.cc:297).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Set, Tuple
+
+import numpy as np
+
+from ..config import SlamConfig
+
+OBS_CAP = 32  # max keyframes observing one map point (reverse-index cap)
+
+
+class MapStore:
+    def __init__(self, cfg: SlamConfig):
+        self.cfg = cfg
+        K = cfg.max_keyframes
+        M = cfg.max_map_points
+        N = cfg.orb.n_features
+
+        # --- keyframes ---
+        self.kf_valid = np.zeros(K, bool)
+        self.kf_R = np.zeros((K, 3, 3), np.float32)  # Tcw rotation
+        self.kf_t = np.zeros((K, 3), np.float32)
+        self.kf_xy = np.zeros((K, N, 2), np.float32)
+        self.kf_ur = np.full((K, N), -1.0, np.float32)
+        self.kf_depth = np.full((K, N), -1.0, np.float32)
+        self.kf_octave = np.zeros((K, N), np.int32)
+        self.kf_angle = np.zeros((K, N), np.float32)
+        self.kf_desc = np.zeros((K, N, 8), np.uint32)
+        self.kf_feat_valid = np.zeros((K, N), bool)
+        self.kf_mp = np.full((K, N), -1, np.int64)  # feature -> map point id
+        self.kf_frame_id = np.zeros(K, np.int64)
+        self.kf_timestamp = np.zeros(K, np.float64)
+        self.n_kf = 0
+        self.next_kf = 0  # monotonically increasing id == array slot
+
+        # covisibility / spanning tree / loop edges
+        self.covis = np.zeros((K, K), np.int32)
+        self.parent = np.full(K, -1, np.int64)
+        self.children: Dict[int, Set[int]] = {}
+        self.loop_edges: Dict[int, Set[int]] = {}
+        self.kf_not_erase = np.zeros(K, bool)
+        self.kf_to_be_erased = np.zeros(K, bool)
+
+        # --- map points ---
+        self.mp_valid = np.zeros(M, bool)
+        self.mp_pos = np.zeros((M, 3), np.float32)
+        self.mp_desc = np.zeros((M, 8), np.uint32)
+        self.mp_normal = np.zeros((M, 3), np.float32)
+        self.mp_min_dist = np.zeros(M, np.float32)
+        self.mp_max_dist = np.zeros(M, np.float32)
+        self.mp_n_obs = np.zeros(M, np.int32)
+        self.mp_visible = np.ones(M, np.int32)
+        self.mp_found = np.ones(M, np.int32)
+        self.mp_first_kf = np.full(M, -1, np.int64)
+        self.mp_obs_kf = np.full((M, OBS_CAP), -1, np.int64)
+        self.mp_obs_feat = np.full((M, OBS_CAP), -1, np.int32)
+        self.mp_obs_n = np.zeros(M, np.int32)
+        self.mp_replaced_by = np.full(M, -1, np.int64)  # Replace() forwarding
+        self.next_mp = 0
+
+        # scale pyramid constants (PredictScale, MapPoint.cc:415-447)
+        self.scale_factors = np.array(
+            [cfg.orb.scale_factor ** i for i in range(cfg.orb.n_levels)], np.float32
+        )
+        self.log_scale = float(np.log(cfg.orb.scale_factor))
+
+        self.big_change_idx = 0  # Map::InformNewBigChange (Map.cc)
+
+    # ------------------------------------------------------------------
+    # keyframe lifecycle
+    # ------------------------------------------------------------------
+    def add_keyframe(
+        self,
+        R_cw: np.ndarray,
+        t_cw: np.ndarray,
+        xy: np.ndarray,
+        ur: np.ndarray,
+        depth: np.ndarray,
+        octave: np.ndarray,
+        angle: np.ndarray,
+        desc: np.ndarray,
+        feat_valid: np.ndarray,
+        mp_bind: np.ndarray,
+        frame_id: int = 0,
+        timestamp: float = 0.0,
+    ) -> int:
+        k = self.next_kf
+        if k >= self.cfg.max_keyframes:
+            raise RuntimeError("keyframe capacity exceeded")
+        self.kf_valid[k] = True
+        self.kf_R[k] = R_cw
+        self.kf_t[k] = t_cw
+        self.kf_xy[k] = xy
+        self.kf_ur[k] = ur
+        self.kf_depth[k] = depth
+        self.kf_octave[k] = octave
+        self.kf_angle[k] = angle
+        self.kf_desc[k] = desc
+        self.kf_feat_valid[k] = feat_valid
+        self.kf_mp[k] = mp_bind
+        self.kf_frame_id[k] = frame_id
+        self.kf_timestamp[k] = timestamp
+        self.next_kf += 1
+        self.n_kf += 1
+        # bind observations on the map-point side
+        feats = np.nonzero(mp_bind >= 0)[0]
+        for f in feats:
+            self._add_observation(int(mp_bind[f]), k, int(f))
+        self.update_connections(k)
+        return k
+
+    def erase_keyframe(self, k: int):
+        """KeyFrame::SetBadFlag (KeyFrame.cc:469-562): unbind observations,
+        reparent children to the best covisible candidate in the parent set."""
+        if k == 0 or not self.kf_valid[k]:
+            return  # first KF never culled (KeyFrame.cc:471)
+        if self.kf_not_erase[k]:
+            self.kf_to_be_erased[k] = True
+            return
+        for f in np.nonzero(self.kf_mp[k] >= 0)[0]:
+            self._remove_observation(int(self.kf_mp[k][f]), k)
+        self.kf_mp[k] = -1
+        # reparent children: greedy max-weight to the ancestor candidate set
+        kids = set(self.children.get(k, set()))
+        candidates = {int(self.parent[k])} if self.parent[k] >= 0 else set()
+        while kids:
+            best_w, best_child, best_parent = -1, None, None
+            for c in kids:
+                # child connects to a candidate via covisibility?
+                for p in candidates:
+                    w = int(self.covis[c, p])
+                    if w > best_w:
+                        best_w, best_child, best_parent = w, c, p
+            if best_child is None or best_w <= 0:
+                break
+            self._set_parent(best_child, best_parent)
+            candidates.add(best_child)
+            kids.discard(best_child)
+        # leftovers hang off the erased KF's parent (KeyFrame.cc:546-552)
+        for c in kids:
+            self._set_parent(c, int(self.parent[k]))
+        self.children.pop(k, None)
+        # clear covisibility
+        self.covis[k, :] = 0
+        self.covis[:, k] = 0
+        self.kf_valid[k] = False
+        self.n_kf -= 1
+
+    def _set_parent(self, child: int, parent: int):
+        old = int(self.parent[child])
+        if old >= 0:
+            self.children.get(old, set()).discard(child)
+        self.parent[child] = parent
+        if parent >= 0:
+            self.children.setdefault(parent, set()).add(child)
+
+    def update_connections(self, k: int):
+        """KeyFrame::UpdateConnections (KeyFrame.cc:304-395): covisibility
+        weights = shared map-point counts; edges kept if weight >= th (15) or
+        at least the single best; parent = max-weight neighbor for new KFs."""
+        mps = self.kf_mp[k]
+        mps = mps[mps >= 0]
+        counts = np.zeros(self.cfg.max_keyframes, np.int32)
+        if len(mps):
+            obs_kf = self.mp_obs_kf[mps].reshape(-1)
+            obs_kf = obs_kf[(obs_kf >= 0) & (obs_kf != k)]
+            if len(obs_kf):
+                np.add.at(counts, obs_kf, 1)
+        th = self.cfg.covis.weight_th
+        keep = counts >= th
+        if not keep.any() and counts.max(initial=0) > 0:
+            keep = counts == counts.max()
+        weights = np.where(keep, counts, 0)
+        self.covis[k, :] = weights
+        self.covis[:, k] = weights
+        if self.parent[k] < 0 and k != 0 and weights.max(initial=0) > 0:
+            self._set_parent(k, int(np.argmax(weights)))
+
+    def covisible_keyframes(self, k: int, n: Optional[int] = None) -> np.ndarray:
+        """GetBestCovisibilityKeyFrames (KeyFrame.cc:175-183)."""
+        w = self.covis[k]
+        order = np.argsort(-w, kind="stable")
+        order = order[w[order] > 0]
+        return order[:n] if n is not None else order
+
+    # ------------------------------------------------------------------
+    # map points
+    # ------------------------------------------------------------------
+    def add_map_point(self, pos, desc, first_kf: int) -> int:
+        m = self.next_mp
+        if m >= self.cfg.max_map_points:
+            raise RuntimeError("map point capacity exceeded")
+        self.mp_valid[m] = True
+        self.mp_pos[m] = pos
+        self.mp_desc[m] = desc
+        self.mp_first_kf[m] = first_kf
+        self.mp_n_obs[m] = 0
+        self.mp_visible[m] = 1
+        self.mp_found[m] = 1
+        self.next_mp += 1
+        return m
+
+    def add_map_points_batch(self, pos, desc, first_kf: int) -> np.ndarray:
+        """Vectorized bulk insert; returns the new ids."""
+        n = len(pos)
+        m0 = self.next_mp
+        if m0 + n > self.cfg.max_map_points:
+            raise RuntimeError("map point capacity exceeded")
+        sl = slice(m0, m0 + n)
+        self.mp_valid[sl] = True
+        self.mp_pos[sl] = pos
+        self.mp_desc[sl] = desc
+        self.mp_first_kf[sl] = first_kf
+        self.mp_n_obs[sl] = 0
+        self.mp_visible[sl] = 1
+        self.mp_found[sl] = 1
+        self.next_mp += n
+        return np.arange(m0, m0 + n)
+
+    def _add_observation(self, m: int, k: int, feat: int):
+        """MapPoint::AddObservation (MapPoint.cc:128-139); stereo features
+        count 2 toward nObs."""
+        n = self.mp_obs_n[m]
+        if n >= OBS_CAP:
+            return
+        # already observed by this KF?
+        if (self.mp_obs_kf[m, :n] == k).any():
+            return
+        self.mp_obs_kf[m, n] = k
+        self.mp_obs_feat[m, n] = feat
+        self.mp_obs_n[m] = n + 1
+        stereo = self.kf_ur[k, feat] >= 0
+        self.mp_n_obs[m] += 2 if stereo else 1
+
+    def _remove_observation(self, m: int, k: int):
+        """MapPoint::EraseObservation (MapPoint.cc:141-167)."""
+        n = self.mp_obs_n[m]
+        idx = np.nonzero(self.mp_obs_kf[m, :n] == k)[0]
+        if len(idx) == 0:
+            return
+        i = idx[0]
+        feat = self.mp_obs_feat[m, i]
+        stereo = self.kf_ur[k, feat] >= 0
+        self.mp_n_obs[m] -= 2 if stereo else 1
+        self.mp_obs_kf[m, i : n - 1] = self.mp_obs_kf[m, i + 1 : n]
+        self.mp_obs_feat[m, i : n - 1] = self.mp_obs_feat[m, i + 1 : n]
+        self.mp_obs_kf[m, n - 1] = -1
+        self.mp_obs_feat[m, n - 1] = -1
+        self.mp_obs_n[m] = n - 1
+        if self.mp_n_obs[m] <= 2:
+            self.erase_map_point(m)
+
+    def erase_map_point(self, m: int):
+        """MapPoint::SetBadFlag: unbind from all observing KFs."""
+        if not self.mp_valid[m]:
+            return
+        n = self.mp_obs_n[m]
+        for i in range(n):
+            k, f = int(self.mp_obs_kf[m, i]), int(self.mp_obs_feat[m, i])
+            if k >= 0 and self.kf_mp[k, f] == m:
+                self.kf_mp[k, f] = -1
+        self.mp_obs_kf[m, :] = -1
+        self.mp_obs_feat[m, :] = -1
+        self.mp_obs_n[m] = 0
+        self.mp_n_obs[m] = 0
+        self.mp_valid[m] = False
+
+    def replace_map_point(self, m_old: int, m_new: int):
+        """MapPoint::Replace (MapPoint.cc:207-245): rebind all observations of
+        m_old to m_new (skipping KFs already observing m_new)."""
+        if m_old == m_new or not self.mp_valid[m_old]:
+            return
+        n = self.mp_obs_n[m_old]
+        obs = [(int(self.mp_obs_kf[m_old, i]), int(self.mp_obs_feat[m_old, i])) for i in range(n)]
+        self.mp_found[m_new] += self.mp_found[m_old]
+        self.mp_visible[m_new] += self.mp_visible[m_old]
+        # drop m_old first so _add_observation sees a clean slate
+        self.mp_obs_kf[m_old, :] = -1
+        self.mp_obs_feat[m_old, :] = -1
+        self.mp_obs_n[m_old] = 0
+        self.mp_n_obs[m_old] = 0
+        self.mp_valid[m_old] = False
+        self.mp_replaced_by[m_old] = m_new
+        nn = self.mp_obs_n[m_new]
+        seen = set(self.mp_obs_kf[m_new, :nn].tolist())
+        for k, f in obs:
+            if k in seen:
+                self.kf_mp[k, f] = -1
+            else:
+                self.kf_mp[k, f] = m_new
+                self._add_observation(m_new, k, f)
+
+    def resolve_replaced(self, ids: np.ndarray) -> np.ndarray:
+        """Follow Replace() forwarding chains (vectorized, bounded depth)."""
+        out = ids.copy()
+        for _ in range(4):
+            live = out >= 0
+            fwd = np.where(live, self.mp_replaced_by[np.clip(out, 0, None)], -1)
+            out = np.where(fwd >= 0, fwd, out)
+        return out
+
+    # ------------------------------------------------------------------
+    # derived per-point state
+    # ------------------------------------------------------------------
+    def update_point_stats(self, ids: np.ndarray):
+        """UpdateNormalAndDepth + ComputeDistinctiveDescriptors
+        (MapPoint.cc:360-401, 272-337) for a batch of points, vectorized over
+        observations."""
+        ids = np.asarray([m for m in np.unique(ids) if m >= 0 and self.mp_valid[m]])
+        if len(ids) == 0:
+            return
+        for m in ids:
+            n = int(self.mp_obs_n[m])
+            if n == 0:
+                continue
+            kfs = self.mp_obs_kf[m, :n]
+            feats = self.mp_obs_feat[m, :n]
+            pos = self.mp_pos[m]
+            # viewing normal: mean of unit vectors from KF centers
+            centers = self._kf_centers(kfs)
+            vecs = pos[None] - centers
+            norms = np.linalg.norm(vecs, axis=1, keepdims=True) + 1e-9
+            normal = (vecs / norms).mean(axis=0)
+            self.mp_normal[m] = normal / (np.linalg.norm(normal) + 1e-9)
+            # scale band from the reference KF (last obs; ref uses mnFirst...
+            # actually pRefKF = mObservations.begin; we use the first)
+            k0, f0 = int(kfs[0]), int(feats[0])
+            dist = float(np.linalg.norm(pos - self._kf_centers(np.array([k0]))[0]))
+            level = int(self.kf_octave[k0, f0])
+            s = self.scale_factors
+            self.mp_max_dist[m] = dist * s[level]
+            self.mp_min_dist[m] = self.mp_max_dist[m] / s[-1]
+            # distinctive descriptor: min median Hamming among observations
+            descs = self.kf_desc[kfs, feats]  # [n, 8]
+            x = descs[:, None, :] ^ descs[None, :, :]
+            d = np.unpackbits(x.view(np.uint8), axis=-1).sum(-1)
+            med = np.median(d, axis=1)
+            self.mp_desc[m] = descs[int(np.argmin(med))]
+
+    def _kf_centers(self, kfs: np.ndarray) -> np.ndarray:
+        """Camera centers Ow = -R^T t for keyframe ids."""
+        R = self.kf_R[kfs]
+        t = self.kf_t[kfs]
+        return -np.einsum("nij,ni->nj", R, t)
+
+    def predict_scale(self, dists: np.ndarray) -> np.ndarray:
+        """MapPoint::PredictScale (MapPoint.cc:415-447) vectorized over a
+        [P] distance array given per-point max_dist already gathered."""
+        raise NotImplementedError("use predict_scale_from in tracking snapshot")
+
+    # ------------------------------------------------------------------
+    # snapshots for jitted steps
+    # ------------------------------------------------------------------
+    def local_map_snapshot(self, center_kfs: np.ndarray, max_points: int):
+        """Collect the union of map points seen by `center_kfs` (the local
+        keyframe set, Tracking::UpdateLocalPoints) as fixed-size arrays.
+
+        Returns dict of numpy arrays padded to max_points + the id vector.
+        """
+        mps = self.kf_mp[center_kfs]
+        mps = np.unique(mps[mps >= 0])
+        mps = mps[self.mp_valid[mps]]
+        if len(mps) > max_points:
+            # prefer well-observed points
+            order = np.argsort(-self.mp_n_obs[mps], kind="stable")
+            mps = mps[order[:max_points]]
+        P = max_points
+        pad = P - len(mps)
+        ids = np.concatenate([mps, np.full(pad, -1, np.int64)])
+        sel = np.clip(ids, 0, None)
+        snap = {
+            "pos": self.mp_pos[sel].copy(),
+            "desc": self.mp_desc[sel].copy(),
+            "normal": self.mp_normal[sel].copy(),
+            "min_dist": self.mp_min_dist[sel].copy(),
+            "max_dist": self.mp_max_dist[sel].copy(),
+            "valid": ids >= 0,
+            "ids": ids,
+        }
+        return snap
+
+    def increment_visible(self, ids: np.ndarray):
+        ids = ids[ids >= 0]
+        np.add.at(self.mp_visible, ids, 1)
+
+    def increment_found(self, ids: np.ndarray):
+        ids = ids[ids >= 0]
+        np.add.at(self.mp_found, ids, 1)
+
+    def found_ratio(self) -> np.ndarray:
+        return self.mp_found / np.maximum(self.mp_visible, 1)

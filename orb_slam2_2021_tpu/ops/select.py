@@ -1,0 +1,89 @@
+"""Spatially-bucketed keypoint selection — the data-parallel reformulation of
+the reference's quadtree distribution (ORBextractor::DistributeOctTree,
+/root/reference/src/ORBextractor.cc:542-766).
+
+The quadtree's intent: spread keypoints uniformly over the image, preferring
+response within each spatial region. We reproduce that intent without
+divergent control flow: the level is cut into fixed cells; each cell yields
+its top-K corners by response; globally we take cells' rank-0 corners first,
+then rank-1, ... (lexicographic (rank, -response) order) until the per-level
+budget is filled. The two-threshold fallback (strict iniThFAST, relaxed
+minThFAST for empty cells, ORBextractor.cc:812-819) is applied per cell.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+K_PER_CELL = 8
+
+
+def _pad_to_multiple(x, cell: int):
+    h, w = x.shape
+    ph = (-h) % cell
+    pw = (-w) % cell
+    if ph or pw:
+        x = jnp.pad(x, ((0, ph), (0, pw)))
+    return x
+
+
+def select_keypoints(strict_score, relaxed_score, n_target: int, cell: int):
+    """Pick n_target spatially-spread corners from dense score maps.
+
+    Returns (ys, xs, scores, valid): each [n_target]; invalid slots have
+    score 0 and valid False.
+    """
+    h, w = strict_score.shape
+    s = _pad_to_multiple(strict_score, cell)
+    r = _pad_to_multiple(relaxed_score, cell)
+    hp, wp = s.shape
+    hc, wc = hp // cell, wp // cell
+
+    def cells(x):
+        return x.reshape(hc, cell, wc, cell).transpose(0, 2, 1, 3).reshape(hc * wc, cell * cell)
+
+    s_cells = cells(s)
+    r_cells = cells(r)
+    # per-cell fallback: use relaxed scores only where no strict corner exists
+    has_strict = jnp.max(s_cells, axis=1, keepdims=True) > 0.0
+    combined = jnp.where(has_strict, s_cells, r_cells)
+
+    k = min(K_PER_CELL, cell * cell)
+    vals, idx = jax.lax.top_k(combined, k)  # [C, k]
+    rank = jnp.broadcast_to(jnp.arange(k, dtype=jnp.float32)[None, :], vals.shape)
+
+    # flatten candidates; key prefers low rank, then high response
+    flat_vals = vals.reshape(-1)
+    flat_rank = rank.reshape(-1)
+    cell_ids = jnp.broadcast_to(
+        jnp.arange(hc * wc, dtype=jnp.int32)[:, None], vals.shape
+    ).reshape(-1)
+    flat_idx = idx.reshape(-1)
+
+    valid = flat_vals > 0.0
+    key = jnp.where(valid, -flat_rank * 1e5 + jnp.minimum(flat_vals, 9e4), -jnp.inf)
+    n_take = min(n_target, key.shape[0])
+    top_keys, top_pos = jax.lax.top_k(key, n_take)
+
+    sel_cell = cell_ids[top_pos]
+    sel_inner = flat_idx[top_pos]
+    sel_val = flat_vals[top_pos]
+    sel_valid = jnp.isfinite(top_keys) & (sel_val > 0.0)
+
+    cy = sel_cell // wc
+    cx = sel_cell % wc
+    iy = sel_inner // cell
+    ix = sel_inner % cell
+    ys = cy * cell + iy
+    xs = cx * cell + ix
+    # clamp away padded region (shouldn't fire: padded scores are 0 => invalid)
+    sel_valid = sel_valid & (ys < h) & (xs < w)
+
+    if n_take < n_target:
+        pad = n_target - n_take
+        ys = jnp.pad(ys, (0, pad))
+        xs = jnp.pad(xs, (0, pad))
+        sel_val = jnp.pad(sel_val, (0, pad))
+        sel_valid = jnp.pad(sel_valid, (0, pad))
+    return ys.astype(jnp.int32), xs.astype(jnp.int32), sel_val, sel_valid

@@ -1,0 +1,371 @@
+"""LocalMapping — keyframe processing pipeline.
+
+Mirrors the reference's mapping thread (/root/reference/src/LocalMapping.cc):
+per inserted keyframe:
+  1. observation binding + covisibility update (done at insert in MapStore,
+     = ProcessNewKeyFrame, LocalMapping.cc:132-172)
+  2. recent-map-point culling (MapPointCulling, 174-209)
+  3. new point triangulation against covisible neighbors
+     (CreateNewMapPoints, 211-458) via the jitted epipolar+DLT step
+  4. neighbor fusion both directions (SearchInNeighbors, 460-543)
+  5. local bundle adjustment (Schur-complement LM, optim/ba.py)
+  6. keyframe culling (KeyFrameCulling, 640-706)
+
+Runs synchronously (process_pending) for determinism; the async pipeline
+driver wraps this in a worker thread.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Deque, Dict, List, Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import SlamConfig
+from ..geometry.camera import PinholeCamera
+from ..mapping.map_store import MapStore
+from ..optim.ba import BAProblem, make_local_ba
+from .mapping_steps import KFView, make_fuse_fn, make_triangulate_fn
+
+
+class LocalMapping:
+    def __init__(self, cfg: SlamConfig, map_store: MapStore, enable_ba: bool = True):
+        self.cfg = cfg
+        self.map = map_store
+        self.cam = PinholeCamera.create(
+            cfg.fx, cfg.fy, cfg.cx, cfg.cy, cfg.bf, cfg.width, cfg.height
+        )
+        self.queue: Deque[int] = deque()
+        self.recent: Dict[int, int] = {}  # mp id -> created-at kf id
+        self.loop_closer = None
+        self.enable_ba = enable_ba
+        self._tri_fn = make_triangulate_fn(cfg)
+        self._fuse_fn = make_fuse_fn(cfg)
+        self._ba_fn = make_local_ba(cfg.optim) if enable_ba else None
+        self.abort_ba = False  # mbAbortBA (LocalMapping.cc:123)
+
+    def insert_keyframe(self, k: int):
+        self.queue.append(k)
+        self.abort_ba = True
+        mps = self.map.kf_mp[k]
+        for m in mps[mps >= 0]:
+            if self.map.mp_first_kf[m] == self.map.kf_frame_id[k] or self.map.mp_first_kf[m] == k:
+                self.recent[int(m)] = k
+
+    def process_pending(self):
+        while self.queue:
+            k = self.queue.popleft()
+            self.abort_ba = False
+            self._process(k)
+
+    def _process(self, k: int):
+        self._cull_recent_points(k)
+        self._create_new_points(k)
+        self._fuse_neighbors(k)
+        if self.enable_ba and self.map.n_kf > 2 and not self.queue:
+            self._local_ba(k)
+        self._cull_keyframes(k)
+        if self.loop_closer is not None:
+            self.loop_closer.insert_keyframe(k)
+
+    # ------------------------------------------------------------------
+    def _kf_view(self, k: int, unbound_only: bool) -> KFView:
+        valid = self.map.kf_feat_valid[k].copy()
+        if unbound_only:
+            valid &= self.map.kf_mp[k] < 0
+        return KFView(
+            xy=jnp.asarray(self.map.kf_xy[k]),
+            ur=jnp.asarray(self.map.kf_ur[k]),
+            depth=jnp.asarray(self.map.kf_depth[k]),
+            octave=jnp.asarray(self.map.kf_octave[k]),
+            desc=jnp.asarray(self.map.kf_desc[k]),
+            valid=jnp.asarray(valid),
+            R=jnp.asarray(self.map.kf_R[k]),
+            t=jnp.asarray(self.map.kf_t[k]),
+        )
+
+    # ------------------------------------------------------------------
+    def _cull_recent_points(self, k: int):
+        """MapPointCulling (LocalMapping.cc:174-209)."""
+        th_obs = self.cfg.mapping.cull_min_obs
+        drop: List[int] = []
+        done: List[int] = []
+        for m, k0 in self.recent.items():
+            if not self.map.mp_valid[m]:
+                done.append(m)
+                continue
+            ratio = self.map.mp_found[m] / max(int(self.map.mp_visible[m]), 1)
+            age = k - k0
+            if ratio < self.cfg.mapping.cull_found_ratio:
+                drop.append(m)
+            elif age >= 2 and self.map.mp_n_obs[m] <= th_obs:
+                drop.append(m)
+            elif age >= 3:
+                done.append(m)
+        for m in drop:
+            self.map.erase_map_point(m)
+            self.recent.pop(m, None)
+        for m in done:
+            self.recent.pop(m, None)
+
+    # ------------------------------------------------------------------
+    def _create_new_points(self, k: int):
+        """CreateNewMapPoints (LocalMapping.cc:211-458)."""
+        nn = self.cfg.mapping.triangulation_neighbors
+        neighbors = self.map.covisible_keyframes(k, nn)
+        if len(neighbors) == 0:
+            return
+        view1 = self._kf_view(k, unbound_only=True)
+        baseline_min = self.cfg.bf / self.cfg.fx  # stereo: baseline > b
+
+        created: List[int] = []
+        for k2 in neighbors:
+            k2 = int(k2)
+            view2 = self._kf_view(k2, unbound_only=True)
+            match2, xw, ok, baseline = self._tri_fn(self.cam, view1, view2)
+            if float(baseline) < baseline_min:
+                continue  # LocalMapping.cc:264-268 (stereo branch)
+            ok = np.asarray(ok)
+            if not ok.any():
+                continue
+            match2 = np.asarray(match2)
+            xw = np.asarray(xw)
+            f1s = np.nonzero(ok)[0]
+            for f1 in f1s:
+                f2 = int(match2[f1])
+                # either side may have been bound by a previous neighbor pass
+                if self.map.kf_mp[k, f1] >= 0 or self.map.kf_mp[k2, f2] >= 0:
+                    continue
+                m = self.map.add_map_point(xw[f1], self.map.kf_desc[k, f1], first_kf=k)
+                self.map.kf_mp[k, f1] = m
+                self.map.kf_mp[k2, f2] = m
+                self.map._add_observation(m, k, int(f1))
+                self.map._add_observation(m, k2, f2)
+                self.recent[m] = k
+                created.append(m)
+        if created:
+            self.map.update_point_stats(np.asarray(created))
+            self.map.update_connections(k)
+
+    # ------------------------------------------------------------------
+    def _fuse_neighbors(self, k: int):
+        """SearchInNeighbors (LocalMapping.cc:460-543): two-hop target KFs;
+        fuse current KF's points into targets and all target points into the
+        current KF; then refresh point stats + covisibility."""
+        nn = self.cfg.mapping.triangulation_neighbors
+        targets: List[int] = []
+        for k1 in self.map.covisible_keyframes(k, nn):
+            k1 = int(k1)
+            if k1 not in targets:
+                targets.append(k1)
+            for k2 in self.map.covisible_keyframes(k1, 5):
+                k2 = int(k2)
+                if k2 != k and k2 not in targets:
+                    targets.append(k2)
+        if not targets:
+            return
+
+        own_ids = self.map.kf_mp[k]
+        own_ids = own_ids[own_ids >= 0]
+        touched: List[int] = list(own_ids)
+
+        # forward: project k's points into each target
+        for kt in targets:
+            self._fuse_points_into(np.asarray(own_ids, np.int64), kt)
+        # backward: project all target points into k
+        fuse_ids = self.map.kf_mp[np.asarray(targets, np.int64)]
+        fuse_ids = np.unique(fuse_ids[fuse_ids >= 0])
+        self._fuse_points_into(fuse_ids, k)
+        touched.extend(fuse_ids.tolist())
+
+        self.map.update_point_stats(np.asarray(touched, np.int64))
+        self.map.update_connections(k)
+
+    def _fuse_points_into(self, ids: np.ndarray, kt: int, chunk: int = 4096):
+        ids = ids[self.map.mp_valid[ids]]
+        if len(ids) == 0:
+            return
+        view = self._kf_view(kt, unbound_only=False)
+        for s in range(0, len(ids), chunk):
+            sub = ids[s : s + chunk]
+            pad = chunk - len(sub)
+            sel = np.concatenate([sub, np.zeros(pad, np.int64)])
+            valid = np.concatenate([np.ones(len(sub), bool), np.zeros(pad, bool)])
+            best_feat, accept, dist = self._fuse_fn(
+                self.cam, view,
+                jnp.asarray(self.map.mp_pos[sel]),
+                jnp.asarray(self.map.mp_normal[sel]),
+                jnp.asarray(self.map.mp_min_dist[sel]),
+                jnp.asarray(self.map.mp_max_dist[sel]),
+                jnp.asarray(self.map.mp_desc[sel]),
+                jnp.asarray(valid),
+            )
+            accept = np.asarray(accept)
+            best_feat = np.asarray(best_feat)
+            for i in np.nonzero(accept)[0]:
+                m = int(sel[i])
+                if not self.map.mp_valid[m]:
+                    continue
+                f = int(best_feat[i])
+                existing = int(self.map.kf_mp[kt, f])
+                if existing >= 0:
+                    if existing == m or not self.map.mp_valid[existing]:
+                        continue
+                    # merge into the better-observed point (ORBmatcher.cc:958-968)
+                    if self.map.mp_n_obs[existing] > self.map.mp_n_obs[m]:
+                        self.map.replace_map_point(m, existing)
+                    else:
+                        self.map.replace_map_point(existing, m)
+                else:
+                    self.map.kf_mp[kt, f] = m
+                    self.map._add_observation(m, kt, f)
+
+    # ------------------------------------------------------------------
+    def _local_ba(self, k: int):
+        """Assemble the local window and run the jitted Schur LM
+        (Optimizer::LocalBundleAdjustment, Optimizer.cc:454-782)."""
+        ocfg = self.cfg.optim
+        C = ocfg.local_ba_max_cams + ocfg.local_ba_max_fixed
+        P = ocfg.local_ba_max_points
+        O = ocfg.local_ba_max_obs
+        Q = ocfg.local_ba_max_obs_per_point
+
+        # local cameras: k + covisibles (Optimizer.cc:456-476)
+        local = [k] + [int(x) for x in self.map.covisible_keyframes(k, ocfg.local_ba_max_cams - 1)]
+        local_set = set(local)
+        # local points: all points of local KFs
+        mp = self.map.kf_mp[np.asarray(local, np.int64)]
+        mp = np.unique(mp[mp >= 0])
+        mp = mp[self.map.mp_valid[mp]]
+        if len(mp) > P:
+            order = np.argsort(-self.map.mp_n_obs[mp], kind="stable")
+            mp = mp[order[:P]]
+        if len(mp) < 8 or len(local) < 2:
+            return
+        # fixed cameras: other observers of local points (Optimizer.cc:489-506)
+        obs_kf_all = self.map.mp_obs_kf[mp]
+        fixed = np.unique(obs_kf_all[obs_kf_all >= 0])
+        fixed = [int(x) for x in fixed if int(x) not in local_set][: ocfg.local_ba_max_fixed]
+        # keep KF0 fixed if present in local (gauge freedom; ref fixes kf id<=1...
+        # Optimizer.cc:579: setFixed(pKFi->mnId==0))
+        cams = local + fixed
+        cam_index = {kf: i for i, kf in enumerate(cams)}
+        n_cams = len(cams)
+        if n_cams > C:
+            cams = cams[:C]
+            n_cams = C
+
+        cam_free = np.zeros(C, bool)
+        for i, kf in enumerate(cams):
+            cam_free[i] = (kf in local_set) and kf != 0
+
+        Rb = np.tile(np.eye(3, dtype=np.float32), (C, 1, 1))
+        tb = np.zeros((C, 3), np.float32)
+        for i, kf in enumerate(cams):
+            Rb[i] = self.map.kf_R[kf]
+            tb[i] = self.map.kf_t[kf]
+
+        mp_index = {int(m): i for i, m in enumerate(mp)}
+        xw = np.zeros((P, 3), np.float32)
+        xw[: len(mp)] = self.map.mp_pos[mp]
+
+        # observations
+        obs_cam = np.zeros(O, np.int32)
+        obs_pt = np.zeros(O, np.int32)
+        obs_uvr = np.full((O, 3), -1.0, np.float32)
+        obs_is2 = np.zeros(O, np.float32)
+        obs_valid = np.zeros(O, bool)
+        pt_obs = np.full((P, Q), -1, np.int32)
+        obs_src: List = [None] * O  # (kf, feat) for writeback
+        sigma2 = self.map.scale_factors ** 2
+
+        o = 0
+        for pi, m in enumerate(mp):
+            n = int(self.map.mp_obs_n[m])
+            cnt = 0
+            for j in range(n):
+                kf = int(self.map.mp_obs_kf[m, j])
+                if kf not in cam_index or cam_index[kf] >= C:
+                    continue
+                if o >= O or cnt >= Q:
+                    break
+                f = int(self.map.mp_obs_feat[m, j])
+                ci = cam_index[kf]
+                obs_cam[o] = ci
+                obs_pt[o] = pi
+                u, v = self.map.kf_xy[kf, f]
+                ur = self.map.kf_ur[kf, f]
+                obs_uvr[o] = [u, v, ur]
+                oct_ = int(self.map.kf_octave[kf, f])
+                obs_is2[o] = 1.0 / sigma2[min(oct_, len(sigma2) - 1)]
+                obs_valid[o] = True
+                pt_obs[pi, cnt] = o
+                obs_src[o] = (kf, f, int(m))
+                cnt += 1
+                o += 1
+            if o >= O:
+                break
+
+        prob = BAProblem(
+            R=jnp.asarray(Rb), t=jnp.asarray(tb), xw=jnp.asarray(xw),
+            obs_cam=jnp.asarray(obs_cam), obs_pt=jnp.asarray(obs_pt),
+            obs_uvr=jnp.asarray(obs_uvr),
+            obs_inv_sigma2=jnp.asarray(np.maximum(obs_is2, 1e-6)),
+            obs_valid=jnp.asarray(obs_valid),
+            pt_obs=jnp.asarray(pt_obs),
+            cam_free=jnp.asarray(cam_free),
+        )
+        Rn, tn, xwn, inlier = self._ba_fn(self.cam, prob)
+        Rn, tn, xwn, inlier = map(np.asarray, (Rn, tn, xwn, inlier))
+
+        # write back optimized poses/points
+        for i, kf in enumerate(cams):
+            if cam_free[i]:
+                self.map.kf_R[kf] = Rn[i]
+                self.map.kf_t[kf] = tn[i]
+        self.map.mp_pos[mp] = xwn[: len(mp)]
+
+        # erase outlier observations (Optimizer.cc:714-760)
+        bad = np.nonzero(obs_valid & ~inlier)[0]
+        for o_i in bad:
+            kf, f, m = obs_src[o_i]
+            if self.map.kf_mp[kf, f] == m:
+                self.map.kf_mp[kf, f] = -1
+                self.map._remove_observation(m, kf)
+
+    # ------------------------------------------------------------------
+    def _cull_keyframes(self, k: int):
+        """KeyFrameCulling (LocalMapping.cc:640-706), vectorized per KF."""
+        th = self.cfg.resolved_depth_th()
+        for kf in self.map.covisible_keyframes(k):
+            kf = int(kf)
+            if kf == 0 or kf == k or not self.map.kf_valid[kf]:
+                continue
+            mps = self.map.kf_mp[kf]
+            feats = np.nonzero(mps >= 0)[0]
+            if len(feats) == 0:
+                continue
+            ms = mps[feats]
+            live = self.map.mp_valid[ms]
+            d = self.map.kf_depth[kf, feats]
+            near = (d > 0) & (d <= th) & live
+            if near.sum() == 0:
+                continue
+            feats_n = feats[near]
+            ms_n = ms[near]
+            levels = self.map.kf_octave[kf, feats_n]
+            # count observations at <= level+1 in other KFs (vectorized over
+            # the OBS_CAP fan-in)
+            okf = self.map.mp_obs_kf[ms_n]          # [n, OBS_CAP]
+            ofe = self.map.mp_obs_feat[ms_n]
+            vmask = (okf >= 0) & (okf != kf)
+            lv = self.map.kf_octave[np.clip(okf, 0, None), np.clip(ofe, 0, None)]
+            cnt = ((lv <= (levels[:, None] + 1)) & vmask).sum(axis=1)
+            redundant = (cnt >= self.cfg.mapping.kf_cull_min_obs).sum()
+            if redundant > self.cfg.mapping.kf_cull_redundancy * len(ms_n):
+                self.map.erase_keyframe(kf)
+
+    def finish(self):
+        self.process_pending()

@@ -1,0 +1,450 @@
+"""Tracking front-end — host orchestration of the per-frame hot path.
+
+Mirrors the reference's Tracking thread (/root/reference/src/Tracking.cc):
+state machine (NOT_INITIALIZED / OK / LOST, Tracking.h:84-91), stereo
+initialization (Tracking.cc:530-582), motion-model tracking with
+reference-KF fallback (Tracking.cc:777-948), local-map tracking
+(Tracking.cc:950-994), keyframe decision + creation (Tracking.cc:996-1162),
+and per-frame relative-pose bookkeeping for trajectory export
+(Tracking.cc:509-526: Tcr = Tcw * Trw^-1 so later KF corrections propagate).
+
+Device work happens in the jitted steps from track_steps; this class owns the
+numpy-side bindings (feature -> map-point ids) and the map store.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from enum import Enum
+from typing import List, Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import SlamConfig
+from ..frontend.frame import Frame
+from ..geometry.camera import PinholeCamera
+from ..mapping.map_store import MapStore
+from .track_steps import make_local_track_fn, make_motion_track_fn
+
+
+class TrackState(Enum):
+    NO_IMAGES_YET = 0
+    NOT_INITIALIZED = 1
+    OK = 2
+    LOST = 3
+
+
+@dataclass
+class FrameRecord:
+    """Per-frame trajectory bookkeeping (mlRelativeFramePoses et al.)."""
+    frame_id: int
+    timestamp: float
+    ref_kf: int
+    T_cr: np.ndarray  # [4, 4] pose relative to reference KF: Tcw * Twr
+    lost: bool
+
+
+class Tracking:
+    def __init__(self, cfg: SlamConfig, map_store: MapStore, local_mapper=None):
+        self.cfg = cfg
+        self.map = map_store
+        self.local_mapper = local_mapper  # set by System; None = no mapping
+        self.cam = PinholeCamera.create(
+            cfg.fx, cfg.fy, cfg.cx, cfg.cy, cfg.bf, cfg.width, cfg.height
+        )
+        self.state = TrackState.NO_IMAGES_YET
+        self.velocity: Optional[np.ndarray] = None  # [4,4] Tcl (cur<-last)
+        self.last_pose: Optional[Tuple[np.ndarray, np.ndarray]] = None
+        self.last_frame_data = None   # dict of numpy arrays incl. mp bindings
+        self.ref_kf: int = -1
+        self.last_kf_frame_id: int = -1
+        self.records: List[FrameRecord] = []
+        self.n_inliers_last = 0
+
+        self._motion_fn = make_motion_track_fn(cfg)
+        self._local_fn = make_local_track_fn(cfg)
+
+    # ------------------------------------------------------------------
+    def track_stereo_frame(self, frame: Frame, frame_id: int, timestamp: float):
+        """Main per-frame entry (Tracking::Track, Tracking.cc:287-528).
+
+        `frame` is the already-built device Frame. Returns (R, t) Tcw or None
+        while not initialized / lost.
+        """
+        if self.state in (TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED):
+            ok = self._stereo_initialize(frame, frame_id, timestamp)
+            if ok:
+                self.state = TrackState.OK
+                return self.last_pose
+            self.state = TrackState.NOT_INITIALIZED
+            return None
+
+        ok = False
+        if self.state == TrackState.OK and self.velocity is not None:
+            ok = self._track_motion_model(frame)
+        if not ok:
+            ok = self._track_reference_kf(frame)
+        if not ok:
+            # lost this frame: try relocalization against recent keyframes
+            ok = self._relocalize_lite(frame)
+
+        if ok:
+            ok = self._track_local_map(frame)
+
+        if ok:
+            self.state = TrackState.OK
+            self._update_motion_model()
+            if self._need_new_keyframe(frame, frame_id):
+                self._create_new_keyframe(frame, frame_id, timestamp)
+        else:
+            self.state = TrackState.LOST
+            self.velocity = None
+
+        self._record_frame(frame_id, timestamp, lost=not ok)
+        self._stash_last_frame(frame)
+        return self.last_pose if ok else None
+
+    # ------------------------------------------------------------------
+    def _stereo_initialize(self, frame: Frame, frame_id: int, timestamp: float) -> bool:
+        """StereoInitialization (Tracking.cc:530-582): need >= 500 features;
+        create a map point for every feature with positive depth."""
+        kp_valid = np.asarray(frame.kp.valid)
+        depth = np.asarray(frame.depth)
+        if kp_valid.sum() < 500 * min(1.0, self.cfg.orb.n_features / 2000.0):
+            return False
+        R = np.eye(3, dtype=np.float32)
+        t = np.zeros(3, dtype=np.float32)
+
+        good = kp_valid & (depth > 0)
+        if good.sum() < 100:
+            return False
+
+        xy = np.asarray(frame.kp.xy)
+        desc = np.asarray(frame.kp.desc)
+        # unproject at identity pose: world == camera
+        z = depth[good]
+        x = (xy[good, 0] - self.cfg.cx) * z / self.cfg.fx
+        y = (xy[good, 1] - self.cfg.cy) * z / self.cfg.fy
+        pos = np.stack([x, y, z], axis=1).astype(np.float32)
+
+        ids = self.map.add_map_points_batch(pos, desc[good], first_kf=0)
+        mp_bind = np.full(frame.n, -1, np.int64)
+        mp_bind[np.nonzero(good)[0]] = ids
+
+        k = self.map.add_keyframe(
+            R, t,
+            xy, np.asarray(frame.u_right), depth,
+            np.asarray(frame.kp.octave), np.asarray(frame.kp.angle),
+            desc, kp_valid, mp_bind, frame_id, timestamp,
+        )
+        self.map.update_point_stats(ids)
+        self.ref_kf = k
+        self.last_kf_frame_id = frame_id
+        self.last_pose = (R, t)
+        self.velocity = None
+        self._bind_cur = mp_bind
+        self._record_frame(frame_id, timestamp, lost=False)
+        self._stash_last_frame(frame)
+        if self.local_mapper is not None:
+            self.local_mapper.insert_keyframe(k)
+        return True
+
+    # ------------------------------------------------------------------
+    def _last_landmark_arrays(self):
+        """Landmark set carried by the last frame (bound features)."""
+        lf = self.last_frame_data
+        ids = lf["mp"]
+        live = self.map.resolve_replaced(ids)
+        valid = (live >= 0) & self.map.mp_valid[np.clip(live, 0, None)] & lf["kp_valid"]
+        sel = np.clip(live, 0, None)
+        return {
+            "xw": self.map.mp_pos[sel],
+            "desc": lf["desc"],
+            "octave": lf["octave"],
+            "angle": lf["angle"],
+            "valid": valid,
+            "ids": np.where(valid, live, -1),
+        }
+
+    def _run_motion_step(self, frame: Frame, R_pred, t_pred, radius: float):
+        lm = self._last_landmark_arrays()
+        R, t, slot, inlier, n_in, n_matched = self._motion_fn(
+            self.cam, frame.kp, frame.u_right,
+            jnp.asarray(R_pred), jnp.asarray(t_pred),
+            jnp.asarray(lm["xw"]), jnp.asarray(lm["desc"]),
+            jnp.asarray(lm["octave"]), jnp.asarray(lm["angle"]),
+            jnp.asarray(lm["valid"]),
+            jnp.float32(radius),
+        )
+        return lm, np.asarray(R), np.asarray(t), np.asarray(slot), np.asarray(inlier), int(n_in), int(n_matched)
+
+    def _track_motion_model(self, frame: Frame) -> bool:
+        """TrackWithMotionModel (Tracking.cc:887-948) with the reference's
+        widened-window retry."""
+        R_l, t_l = self.last_pose
+        T_pred = self.velocity @ _mat(R_l, t_l)
+        R_pred, t_pred = T_pred[:3, :3], T_pred[:3, 3]
+
+        lm, R, t, slot, inlier, n_in, n_matched = self._run_motion_step(
+            frame, R_pred, t_pred, self.cfg.tracking.motion_search_radius
+        )
+        if n_matched < 20:
+            lm, R, t, slot, inlier, n_in, n_matched = self._run_motion_step(
+                frame, R_pred, t_pred, 2 * self.cfg.tracking.motion_search_radius
+            )
+            if n_matched < 20:
+                return False
+        if n_in < self.cfg.tracking.min_inliers_track:
+            return False
+        self._apply_matches(lm["ids"], slot, inlier)
+        self.last_pose = (R, t)
+        return True
+
+    def _track_reference_kf(self, frame: Frame) -> bool:
+        """TrackReferenceKeyFrame (Tracking.cc:777-819) — descriptor matching
+        against the reference KF's landmarks (BoW-accelerated in the
+        reference; dense Hamming here), then pose optimization from the last
+        pose."""
+        if self.ref_kf < 0 or self.last_pose is None:
+            return False
+        k = self.ref_kf
+        mp = self.map.kf_mp[k]
+        valid = (mp >= 0) & self.map.mp_valid[np.clip(mp, 0, None)]
+        if valid.sum() < 15:
+            return False
+        lm = {
+            "xw": self.map.mp_pos[np.clip(mp, 0, None)],
+            "desc": self.map.kf_desc[k],
+            "octave": self.map.kf_octave[k],
+            "angle": self.map.kf_angle[k],
+            "valid": valid,
+            "ids": np.where(valid, mp, -1),
+        }
+        R_l, t_l = self.last_pose
+        # generous search window substitutes for the BoW candidate pruning
+        R, t, slot, inlier, n_in, n_matched = self._motion_fn(
+            self.cam, frame.kp, frame.u_right,
+            jnp.asarray(R_l), jnp.asarray(t_l),
+            jnp.asarray(lm["xw"]), jnp.asarray(lm["desc"]),
+            jnp.asarray(lm["octave"]), jnp.asarray(lm["angle"]),
+            jnp.asarray(lm["valid"]),
+            jnp.float32(4 * self.cfg.tracking.motion_search_radius),
+        )
+        if int(n_matched) < 15 or int(n_in) < self.cfg.tracking.min_inliers_track:
+            return False
+        self._apply_matches(lm["ids"], np.asarray(slot), np.asarray(inlier))
+        self.last_pose = (np.asarray(R), np.asarray(t))
+        return True
+
+    def _relocalize_lite(self, frame: Frame) -> bool:
+        """Stand-in for Relocalization (Tracking.cc:1368-1532) until the
+        BoW+EPnP path lands: try reference-KF matching from the last known
+        pose. TODO(place-recognition): KF database candidates + EPnP RANSAC."""
+        return self._track_reference_kf(frame)
+
+    def _apply_matches(self, ids, slot, inlier):
+        """Bind current-frame features to map-point ids given matcher slots."""
+        bind = np.full(slot.shape[0], -1, np.int64)
+        ok = (slot >= 0) & inlier
+        bind[ok] = ids[slot[ok]]
+        self._bind_cur = bind
+
+    # ------------------------------------------------------------------
+    def _track_local_map(self, frame: Frame) -> bool:
+        """TrackLocalMap (Tracking.cc:950-994): expand to covisible KFs, match
+        their points, re-optimize, count inliers."""
+        bind = self._bind_cur
+        matched_ids = bind[bind >= 0]
+        if len(matched_ids) == 0:
+            return False
+        # local KF set: voters for current matches + best covisibles (<= 80)
+        obs_kf = self.map.mp_obs_kf[matched_ids].reshape(-1)
+        obs_kf = obs_kf[obs_kf >= 0]
+        if len(obs_kf) == 0:
+            return False
+        votes = np.bincount(obs_kf, minlength=self.cfg.max_keyframes)
+        voters = np.nonzero(votes)[0]
+        order = voters[np.argsort(-votes[voters], kind="stable")]
+        local_kfs = list(order[: self.cfg.tracking.local_window_kf // 2])
+        for k in list(local_kfs):
+            for nb in self.map.covisible_keyframes(int(k), 10):
+                if len(local_kfs) >= self.cfg.tracking.local_window_kf:
+                    break
+                if nb not in local_kfs:
+                    local_kfs.append(int(nb))
+        self.ref_kf = int(order[0])
+
+        snap = self.map.local_map_snapshot(
+            np.asarray(local_kfs, np.int64), self.cfg.tracking.local_points_cap
+        )
+        # exclude points already matched in this frame (SearchLocalPoints
+        # skips mnLastFrameSeen == cur, Tracking.cc:1172-1178)
+        already = np.isin(snap["ids"], matched_ids)
+        snap_valid = snap["valid"] & ~already
+
+        R0, t0 = self.last_pose
+        bound_mask = bind >= 0
+        live = self.map.resolve_replaced(bind)
+        bound_xw = self.map.mp_pos[np.clip(live, 0, None)]
+
+        R, t, slot, inlier, n_in, visible = self._local_fn(
+            self.cam, frame.kp, frame.u_right,
+            jnp.asarray(R0), jnp.asarray(t0),
+            jnp.asarray(bound_xw), jnp.asarray(bound_mask),
+            jnp.asarray(snap["pos"]), jnp.asarray(snap["normal"]),
+            jnp.asarray(snap["min_dist"]), jnp.asarray(snap["max_dist"]),
+            jnp.asarray(snap["desc"]), jnp.asarray(snap_valid),
+        )
+        slot = np.asarray(slot)
+        inlier = np.asarray(inlier)
+        n_in = int(n_in)
+
+        # merge new bindings
+        new_ok = (slot >= 0) & inlier
+        bind = bind.copy()
+        bind[new_ok] = snap["ids"][slot[new_ok]]
+        bind[~inlier & (bind >= 0) & ~bound_mask] = -1
+        # outliers among previously bound features are unbound as well
+        bind[(~inlier) & bound_mask] = -1
+        self._bind_cur = bind
+
+        # visibility / found statistics (Tracking.cc:976-981)
+        vis_ids = snap["ids"][np.asarray(visible) & (snap["ids"] >= 0)]
+        self.map.increment_visible(vis_ids)
+        self.map.increment_found(bind[bind >= 0])
+
+        self.n_inliers_last = n_in
+        if n_in < self.cfg.tracking.min_inliers_localmap:
+            return False
+        self.last_pose = (np.asarray(R), np.asarray(t))
+        return True
+
+    # ------------------------------------------------------------------
+    def _update_motion_model(self):
+        if self.last_frame_data is None:
+            self.velocity = None
+            return
+        R_l, t_l = self.last_frame_data["pose"]
+        R_c, t_c = self.last_pose
+        T_l = _mat(R_l, t_l)
+        T_c = _mat(R_c, t_c)
+        self.velocity = (T_c @ np.linalg.inv(T_l)).astype(np.float32)
+
+    def _need_new_keyframe(self, frame: Frame, frame_id: int) -> bool:
+        """NeedNewKeyFrame (Tracking.cc:996-1080), stereo branch. Synchronous
+        local mapping is always 'idle', so c1b reduces to the MinFrames gate
+        exactly as in the reference's steady state."""
+        if self.ref_kf < 0:
+            return False
+        n_kf = self.map.n_kf
+        # nRefMatches = ref-KF points with >= nMinObs observations
+        min_obs = 3 if n_kf > 2 else 2
+        ref_mp = self.map.kf_mp[self.ref_kf]
+        sel = np.clip(ref_mp, 0, None)
+        n_ref = int(
+            ((ref_mp >= 0) & self.map.mp_valid[sel] & (self.map.mp_n_obs[sel] >= min_obs)).sum()
+        )
+
+        depth = np.asarray(frame.depth)
+        bind = self._bind_cur
+        close = (depth > 0) & (depth < self.cfg.resolved_depth_th())
+        tracked_close = int((close & (bind >= 0)).sum())
+        untracked_close = int((close & (bind < 0)).sum())
+        need_close = tracked_close < 100 and untracked_close > 70
+
+        frames_since = frame_id - self.last_kf_frame_id
+        inl = self.n_inliers_last
+        c1a = frames_since >= self.cfg.tracking.max_frames_between_kf
+        c1b = frames_since >= self.cfg.tracking.min_frames_between_kf  # mapping idle
+        c1c = inl < n_ref * 0.25 or need_close
+        th_ratio = 0.75 if n_kf >= 2 else 0.4
+        c2 = (inl < n_ref * th_ratio or need_close) and inl > 15
+        return bool((c1a or c1b or c1c) and c2)
+
+    def _create_new_keyframe(self, frame: Frame, frame_id: int, timestamp: float):
+        """CreateNewKeyFrame (Tracking.cc:1082-1162): promote the frame; for
+        stereo, spawn map points for the closest unbound depths (all closer
+        than ThDepth, at least the 100 closest)."""
+        R, t = self.last_pose
+        bind = self._bind_cur.copy()
+        depth = np.asarray(frame.depth)
+        kp_valid = np.asarray(frame.kp.valid)
+        xy = np.asarray(frame.kp.xy)
+        desc = np.asarray(frame.kp.desc)
+
+        cand = np.nonzero((depth > 0) & (bind < 0) & kp_valid)[0]
+        if len(cand):
+            order = cand[np.argsort(depth[cand], kind="stable")]
+            th = self.cfg.resolved_depth_th()
+            n_close = int((depth[order] < th).sum())
+            n_take = min(len(order), max(100, n_close))
+            take = order[:n_take]
+            z = depth[take]
+            # unproject to world: Xw = R^T (Xc - t)
+            xc = np.stack(
+                [
+                    (xy[take, 0] - self.cfg.cx) * z / self.cfg.fx,
+                    (xy[take, 1] - self.cfg.cy) * z / self.cfg.fy,
+                    z,
+                ],
+                axis=1,
+            ).astype(np.float32)
+            xw = (xc - t[None]) @ R  # R^T (xc - t) as row vectors
+            ids = self.map.add_map_points_batch(xw, desc[take], first_kf=self.map.next_kf)
+            bind[take] = ids
+
+        k = self.map.add_keyframe(
+            R.astype(np.float32), t.astype(np.float32),
+            xy, np.asarray(frame.u_right), depth,
+            np.asarray(frame.kp.octave), np.asarray(frame.kp.angle),
+            desc, kp_valid, bind, frame_id, timestamp,
+        )
+        new_ids = bind[bind >= 0]
+        self.map.update_point_stats(new_ids)
+        self.ref_kf = k
+        self.last_kf_frame_id = frame_id
+        self._bind_cur = bind
+        if self.local_mapper is not None:
+            self.local_mapper.insert_keyframe(k)
+
+    # ------------------------------------------------------------------
+    def _record_frame(self, frame_id: int, timestamp: float, lost: bool):
+        if self.last_pose is None or self.ref_kf < 0:
+            return
+        R, t = self.last_pose
+        T_cw = _mat(R, t)
+        T_rw = _mat(self.map.kf_R[self.ref_kf], self.map.kf_t[self.ref_kf])
+        T_cr = T_cw @ np.linalg.inv(T_rw)
+        self.records.append(FrameRecord(frame_id, timestamp, self.ref_kf, T_cr.astype(np.float32), lost))
+
+    def _stash_last_frame(self, frame: Frame):
+        self.last_frame_data = {
+            "mp": self._bind_cur.copy(),
+            "kp_valid": np.asarray(frame.kp.valid),
+            "desc": np.asarray(frame.kp.desc),
+            "octave": np.asarray(frame.kp.octave),
+            "angle": np.asarray(frame.kp.angle),
+            "xy": np.asarray(frame.kp.xy),
+            "ur": np.asarray(frame.u_right),
+            "depth": np.asarray(frame.depth),
+            "pose": self.last_pose,
+        }
+
+    # ------------------------------------------------------------------
+    def trajectory(self) -> List[Tuple[float, np.ndarray]]:
+        """Per-frame (timestamp, Twc [4,4]) resolving reference-KF poses at
+        call time (SaveTrajectoryKITTI semantics, System.cc:473-530)."""
+        out = []
+        for rec in self.records:
+            T_rw = _mat(self.map.kf_R[rec.ref_kf], self.map.kf_t[rec.ref_kf])
+            T_cw = rec.T_cr @ T_rw
+            out.append((rec.timestamp, np.linalg.inv(T_cw)))
+        return out
+
+
+def _mat(R, t):
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = R
+    T[:3, 3] = t
+    return T
