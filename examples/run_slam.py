@@ -1,0 +1,82 @@
+"""CLI dataset driver — the reference's example binary equivalent
+(/root/reference/Examples/Stereo/arducam_images.cpp): run the pipeline over a
+sequence, print per-frame timing stats at exit (:179-187), save KITTI + TUM
+trajectories (:190).
+
+Usage:
+  python examples/run_slam.py synthetic [n_frames]         # built-in demo
+  python examples/run_slam.py kitti <seq_dir> [--reduced]  # KITTI stereo
+  python examples/run_slam.py tum <seq_dir>                # TUM RGB-D
+
+`--reduced` = first 500 frames (scripts/stereo_kitti_red.sh semantics).
+"""
+
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "synthetic"
+
+    from orb_slam2_2021_tpu.config import kitti_stereo_config, synthetic_config
+    from orb_slam2_2021_tpu.pipeline.system import System
+
+    if mode == "synthetic":
+        from orb_slam2_2021_tpu.io.synthetic import (
+            SyntheticStereoWorld, forward_trajectory,
+        )
+        from orb_slam2_2021_tpu.io.trajectory import ate_rmse
+
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else 60
+        cfg = synthetic_config(width=320, height=240)
+        world = SyntheticStereoWorld(cfg, seed=3)
+        gt = forward_trajectory(n, step=0.12)
+        sys_ = System(cfg)
+        for i, (R, t) in enumerate(gt):
+            left, right = world.render(R, t)
+            pose = sys_.track_stereo(left, right, timestamp=i * 0.1)
+            state = sys_.tracker.state.name
+            print(f"frame {i:04d}: {state} inliers={sys_.tracker.n_inliers_last} "
+                  f"kf={sys_.map.n_kf}")
+        sys_.shutdown()
+        est = sys_.trajectory_kitti()
+        gt_mats = []
+        for R, t in gt[: len(est)]:
+            T = np.eye(4); T[:3, :3] = R; T[:3, 3] = t
+            gt_mats.append(T)
+        print("ATE RMSE:", ate_rmse(est, gt_mats))
+    elif mode == "kitti":
+        from orb_slam2_2021_tpu.io.datasets import KittiStereoSequence
+
+        seq = KittiStereoSequence(
+            sys.argv[2], max_frames=500 if "--reduced" in sys.argv else None
+        )
+        cfg = kitti_stereo_config()
+        sys_ = System(cfg)
+        for ts, left, right in seq:
+            sys_.track_stereo(left, right, timestamp=ts)
+        sys_.shutdown()
+    elif mode == "tum":
+        from orb_slam2_2021_tpu.io.datasets import TumRgbdSequence
+
+        seq = TumRgbdSequence(sys.argv[2])
+        cfg = kitti_stereo_config()  # replace with the TUM intrinsics yaml
+        sys_ = System(cfg)
+        for ts, rgb, depth in seq:
+            sys_.track_rgbd(rgb, depth, timestamp=ts)
+        sys_.shutdown()
+    else:
+        raise SystemExit(__doc__)
+
+    stats = sys_.timing_stats()
+    print(f"median tracking time: {stats['median_s']:.4f} s")
+    print(f"mean tracking time:   {stats['mean_s']:.4f} s")
+    sys_.save_trajectory_kitti("trajectory_kitti.txt")
+    sys_.save_trajectory_tum("trajectory_tum.txt")
+    print("saved trajectory_kitti.txt / trajectory_tum.txt")
+
+
+if __name__ == "__main__":
+    main()

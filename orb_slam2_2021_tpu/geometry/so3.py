@@ -46,10 +46,14 @@ def so3_exp(w):
 
 
 def so3_log(R):
-    """[..., 3, 3] rotation -> [..., 3] axis-angle (theta in [0, pi])."""
+    """[..., 3, 3] rotation -> [..., 3] axis-angle (theta in [0, pi]).
+
+    Differentiable at the identity: theta comes from atan2(|vee|/2, cos)
+    rather than arccos (whose derivative blows up at cos=1 and would poison
+    autodiff through pose-graph residuals at near-zero error).
+    """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
     # vee of the antisymmetric part
     v = jnp.stack(
         [
@@ -59,15 +63,19 @@ def so3_log(R):
         ],
         axis=-1,
     )
-    sin_t = jnp.sin(theta)
+    sin_t = 0.5 * jnp.sqrt(jnp.sum(v * v, axis=-1) + 1e-24)
+    theta = jnp.arctan2(sin_t, cos_t)
     # theta / (2 sin theta), Taylor near 0
     small = theta < 1e-4
     scale = jnp.where(small, 0.5 + theta * theta / 12.0, theta / (2.0 * sin_t + _EPS))
     w = v * scale[..., None]
     # Near theta = pi the vee-part vanishes; recover axis from diagonal.
     near_pi = theta > 3.0
-    # R = I + 2 sin^2(t/2) (nn^T - I) => diag gives |n_i|
-    nn = jnp.sqrt(jnp.clip((jnp.stack([R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], axis=-1) - cos_t[..., None]) / (1.0 - cos_t[..., None] + _EPS), 0.0, 1.0))
+    # R = I + 2 sin^2(t/2) (nn^T - I) => diag gives |n_i|. The clip floor is
+    # strictly positive: sqrt(0) has an infinite derivative that would poison
+    # forward-mode autodiff through the (unselected) where-branch when the
+    # rotation is near identity (pose-graph Jacobians hit exactly that).
+    nn = jnp.sqrt(jnp.clip((jnp.stack([R[..., 0, 0], R[..., 1, 1], R[..., 2, 2]], axis=-1) - cos_t[..., None]) / (1.0 - cos_t[..., None] + _EPS), 1e-12, 1.0))
     # fix signs from off-diagonals
     sx = jnp.sign(jnp.where(jnp.abs(v[..., 0]) > _EPS, v[..., 0], 1.0))
     sy = jnp.sign(R[..., 0, 1] + R[..., 1, 0]) * sx

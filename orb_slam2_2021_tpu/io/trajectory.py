@@ -36,9 +36,12 @@ def save_tum(path: str, stamped: Sequence[Tuple[float, np.ndarray]]):
             )
 
 
-def ate_rmse(est_twc: Sequence[np.ndarray], gt_twc: Sequence[np.ndarray], align=True) -> float:
-    """Absolute trajectory error RMSE after optional SE3(+no scale) Horn
-    alignment (the standard KITTI/TUM evaluation)."""
+def ate_rmse(
+    est_twc: Sequence[np.ndarray], gt_twc: Sequence[np.ndarray],
+    align=True, with_scale=False,
+) -> float:
+    """Absolute trajectory error RMSE after optional SE3 (or Sim3 when
+    with_scale — the monocular evaluation) Horn alignment."""
     est = np.asarray([T[:3, 3] for T in est_twc], np.float64)
     gt = np.asarray([T[:3, 3] for T in gt_twc], np.float64)
     assert est.shape == gt.shape
@@ -52,7 +55,11 @@ def ate_rmse(est_twc: Sequence[np.ndarray], gt_twc: Sequence[np.ndarray], align=
         if np.linalg.det(U @ Vt) < 0:
             S[2, 2] = -1
         R = Vt.T @ S @ U.T
-        est = (R @ E.T).T + mu_g
+        s = 1.0
+        if with_scale:
+            Er = (R @ E.T).T
+            s = float((Er * G).sum() / max((Er * Er).sum(), 1e-12))
+        est = s * (R @ E.T).T + mu_g
         gt = G + mu_g
     err = est - gt
     return float(np.sqrt((err * err).sum(axis=1).mean()))

@@ -183,9 +183,14 @@ def _lm_step(cam, prob: BAProblem, R, t, xw, active, lam, use_huber, cfg: OptimC
         b_corr = jax.lax.psum(b_corr, axis_name)
     b_schur = b_c - b_corr
 
-    # dense solve of the reduced camera system (MXU: [6C, 6C])
+    # dense solve of the reduced camera system (MXU: [6C, 6C]).
+    # Minimum-norm solve via eigendecomposition with a relative cutoff: a
+    # monocular problem with too few fixed cameras has an exact scale
+    # null-space (similarity gauge), and a plain solve at small lambda
+    # random-walks the whole map along it (scale collapse). Zeroing the
+    # near-null modes keeps the step in the observable subspace — the f32
+    # equivalent of g2o's double-precision damped Cholesky.
     S_dense = S.transpose(0, 2, 1, 3).reshape(C * 6, C * 6)
-    # fixed cameras: identity rows (their delta is forced to zero)
     free_mask = jnp.repeat(prob.cam_free, 6)
     S_dense = jnp.where(
         (free_mask[:, None] & free_mask[None, :]),
@@ -193,7 +198,11 @@ def _lm_step(cam, prob: BAProblem, R, t, xw, active, lam, use_huber, cfg: OptimC
         jnp.eye(C * 6, dtype=R.dtype),
     )
     rhs = jnp.where(free_mask, -b_schur.reshape(-1), 0.0)
-    delta_c = jnp.linalg.solve(S_dense, rhs).reshape(C, 6)
+    S_sym = 0.5 * (S_dense + S_dense.T)
+    eigw, eigv = jnp.linalg.eigh(S_sym)
+    cutoff = jnp.maximum(jnp.max(jnp.abs(eigw)), 1e-12) * 1e-6
+    inv_w = jnp.where(eigw > cutoff, 1.0 / eigw, 0.0)
+    delta_c = (eigv @ (inv_w * (eigv.T @ rhs))).reshape(C, 6)
     delta_c = delta_c * prob.cam_free[:, None]
 
     # back-substitute points: delta_p = -V^-1 (b_p + sum_i W_ip^T delta_c_i)

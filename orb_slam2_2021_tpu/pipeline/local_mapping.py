@@ -45,9 +45,10 @@ class LocalMapping:
         self._fuse_fn = make_fuse_fn(cfg)
         self._ba_fn = make_local_ba(cfg.optim) if enable_ba else None
         self.abort_ba = False  # mbAbortBA (LocalMapping.cc:123)
+        self.monocular = False  # set by System; changes culling thresholds
 
-    def insert_keyframe(self, k: int):
-        self.queue.append(k)
+    def insert_keyframe(self, k: int, words=None):
+        self.queue.append((k, words))
         self.abort_ba = True
         mps = self.map.kf_mp[k]
         for m in mps[mps >= 0]:
@@ -56,11 +57,11 @@ class LocalMapping:
 
     def process_pending(self):
         while self.queue:
-            k = self.queue.popleft()
+            k, words = self.queue.popleft()
             self.abort_ba = False
-            self._process(k)
+            self._process(k, words)
 
-    def _process(self, k: int):
+    def _process(self, k: int, words=None):
         self._cull_recent_points(k)
         self._create_new_points(k)
         self._fuse_neighbors(k)
@@ -68,7 +69,8 @@ class LocalMapping:
             self._local_ba(k)
         self._cull_keyframes(k)
         if self.loop_closer is not None:
-            self.loop_closer.insert_keyframe(k)
+            self.loop_closer.insert_keyframe(k, words)
+            self.loop_closer.process_pending()
 
     # ------------------------------------------------------------------
     def _kf_view(self, k: int, unbound_only: bool) -> KFView:
@@ -88,8 +90,10 @@ class LocalMapping:
 
     # ------------------------------------------------------------------
     def _cull_recent_points(self, k: int):
-        """MapPointCulling (LocalMapping.cc:174-209)."""
-        th_obs = self.cfg.mapping.cull_min_obs
+        """MapPointCulling (LocalMapping.cc:174-209). cnThObs is 2 for
+        monocular, 3 for stereo/RGBD (:182) — stereo observations count 2
+        toward nObs, mono count 1."""
+        th_obs = 2 if self.monocular else self.cfg.mapping.cull_min_obs
         drop: List[int] = []
         done: List[int] = []
         for m, k0 in self.recent.items():
@@ -125,7 +129,13 @@ class LocalMapping:
             k2 = int(k2)
             view2 = self._kf_view(k2, unbound_only=True)
             match2, xw, ok, baseline = self._tri_fn(self.cam, view1, view2)
-            if float(baseline) < baseline_min:
+            if self.monocular:
+                # mono gate: baseline / median scene depth > 0.01
+                # (LocalMapping.cc:270-280 + ComputeSceneMedianDepth)
+                med = self._median_scene_depth(k2)
+                if med <= 0 or float(baseline) / med < 0.01:
+                    continue
+            elif float(baseline) < baseline_min:
                 continue  # LocalMapping.cc:264-268 (stereo branch)
             ok = np.asarray(ok)
             if not ok.any():
@@ -148,6 +158,17 @@ class LocalMapping:
         if created:
             self.map.update_point_stats(np.asarray(created))
             self.map.update_connections(k)
+
+    def _median_scene_depth(self, k: int) -> float:
+        """KeyFrame::ComputeSceneMedianDepth (KeyFrame.cc:650-680)."""
+        mp = self.map.kf_mp[k]
+        ids = mp[mp >= 0]
+        ids = ids[self.map.mp_valid[ids]]
+        if len(ids) == 0:
+            return -1.0
+        R, t = self.map.kf_R[k], self.map.kf_t[k]
+        z = self.map.mp_pos[ids] @ R[2] + t[2]
+        return float(np.median(z))
 
     # ------------------------------------------------------------------
     def _fuse_neighbors(self, k: int):
@@ -260,6 +281,15 @@ class LocalMapping:
         cam_free = np.zeros(C, bool)
         for i, kf in enumerate(cams):
             cam_free[i] = (kf in local_set) and kf != 0
+        if self.monocular and len(fixed) == 0:
+            # monocular gauge: with a single fixed camera the reduced system
+            # has an exact scale null-space (scaling about its center leaves
+            # every residual unchanged) and the near-GN solve random-walks
+            # along it, collapsing the map. Pin the oldest other camera too.
+            frees = [i for i, kf in enumerate(cams) if cam_free[i]]
+            if frees:
+                oldest = min(frees, key=lambda i: cams[i])
+                cam_free[oldest] = False
 
         Rb = np.tile(np.eye(3, dtype=np.float32), (C, 1, 1))
         tb = np.zeros((C, 3), np.float32)

@@ -1,0 +1,483 @@
+"""LoopClosing — loop detection, Sim3 computation, loop correction, global BA.
+
+Mirrors the reference's loop thread (/root/reference/src/LoopClosing.cc):
+- DetectLoop (:118-245): BoW candidates from the keyframe database gated by
+  the min covisible score, then covisibility-consistency across 3 consecutive
+  detections (mnCovisibilityConsistencyTh=3, :54);
+- ComputeSim3 (:247-419): per candidate, descriptor matching -> vmapped Horn
+  Sim3 RANSAC -> relative Sim3 refine (>= 20 inliers) -> gather loop-region
+  map points -> projection matching against the corrected pose (>= 40 total);
+- CorrectLoop (:421-614): propagate the corrected Sim3 through the current
+  covisibility group, remap their map points, fuse duplicates, optimize the
+  essential graph (spanning tree + covis>=100 + loop edges), then run full
+  bundle adjustment (RunGlobalBundleAdjustment, :674-779).
+
+Runs synchronously from LocalMapping's queue drain; scale is fixed for
+stereo/RGBD (bFixScale) and free for monocular.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Set, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import SlamConfig
+from ..geometry.camera import PinholeCamera
+from ..mapping.map_store import MapStore
+from ..optim.ba import BAProblem, make_global_ba
+from ..optim.sim3_opt import PoseGraph, make_essential_solver, make_sim3_refine
+from ..place.kf_database import KeyFrameDatabase
+from ..place.vocab import make_transform_fn
+from ..solvers.horn_sim3 import make_sim3_ransac
+from ..frontend.matchers import match_bruteforce_desc
+from .mapping_steps import KFView, make_fuse_fn
+
+
+def _sim3_mat(s, R, t):
+    """(s,R,t) -> 4x4 with scale folded: [sR | t]."""
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = s * R
+    T[:3, 3] = t
+    return T
+
+
+def _sim3_inv(s, R, t):
+    si = 1.0 / s
+    Ri = R.T
+    ti = -si * (Ri @ t)
+    return si, Ri, ti
+
+
+def _sim3_mul(a, b):
+    sa, Ra, ta = a
+    sb, Rb, tb = b
+    return sa * sb, Ra @ Rb, sa * (Ra @ tb) + ta
+
+
+class LoopClosing:
+    def __init__(self, cfg: SlamConfig, map_store: MapStore, kfdb: KeyFrameDatabase,
+                 fix_scale: bool = True):
+        self.cfg = cfg
+        self.map = map_store
+        self.kfdb = kfdb
+        self.fix_scale = fix_scale
+        self.cam = PinholeCamera.create(
+            cfg.fx, cfg.fy, cfg.cx, cfg.cy, cfg.bf, cfg.width, cfg.height
+        )
+        self.queue: List[int] = []
+        self.last_loop_kf = -int(1e9)
+        self.consistent_groups: List[Tuple[Set[int], int]] = []  # (group, count)
+        self.loop_closed_flag = False  # consumed by GridMapping (GridMapping.cpp:43)
+        self.n_loops = 0
+        self.local_mapper = None
+
+        self._sim3_ransac = make_sim3_ransac(fix_scale, 128)
+        self._sim3_refine = make_sim3_refine(fix_scale)
+        self._essential = make_essential_solver(fix_scale)
+        self._fuse_fn = make_fuse_fn(cfg)
+        self._global_ba = make_global_ba(cfg.optim)
+        self._match_fn = jax.jit(match_bruteforce_desc)
+        self._key = jax.random.PRNGKey(cfg.orb.n_features)
+
+        # sparsified relative-pose bookkeeping for essential-graph edges:
+        # spanning tree + loop edges use poses at correction time
+        self.loop_edges: Dict[int, Set[int]] = {}
+
+    # ------------------------------------------------------------------
+    def insert_keyframe(self, k: int, words=None):
+        self.queue.append((k, words))
+
+    def process_pending(self):
+        while self.queue:
+            k, words = self.queue.pop(0)
+            self._process(k, words)
+
+    def _process(self, k: int, words):
+        if words is not None:
+            self.kfdb.add_bow(k, words)
+        if not self.map.kf_valid[k]:
+            return
+        candidates = self._detect_loop(k)
+        if candidates:
+            result = self._compute_sim3(k, candidates)
+            if result is not None:
+                loop_kf, scw, matched_feat_mp = result
+                self._correct_loop(k, loop_kf, scw, matched_feat_mp)
+        # the KF becomes a retrieval candidate only now (DetectLoop end,
+        # LoopClosing.cc:237-243)
+        if k in self.kfdb.bow:
+            self.kfdb.add_to_index(k)
+
+    # ------------------------------------------------------------------
+    def _detect_loop(self, k: int) -> List[int]:
+        """DetectLoop (:118-245). Returns enough-consistent candidates."""
+        if k < self.last_loop_kf + self.cfg.place.loop_min_kf_gap:
+            self.consistent_groups = []
+            return []
+        if k not in self.kfdb.bow:
+            return []
+        connected = set(int(x) for x in self.map.covisible_keyframes(k))
+        # min score among covisible neighbors (:131-141)
+        min_score = 1.0
+        for nb in connected:
+            if nb in self.kfdb.bow:
+                min_score = min(min_score, self.kfdb.score(k, nb))
+        cands = self.kfdb.detect_loop_candidates(
+            k, min_score, connected, lambda x: self.map.covisible_keyframes(x, 10)
+        )
+        if not cands:
+            self.consistent_groups = []
+            return []
+        # covisibility consistency over consecutive detections (:167-227)
+        enough: List[int] = []
+        new_groups: List[Tuple[Set[int], int]] = []
+        th = self.cfg.place.covis_consistency_th
+        for c in cands:
+            group = set(int(x) for x in self.map.covisible_keyframes(c)) | {c}
+            best_count = 0
+            matched_any = False
+            for prev_group, count in self.consistent_groups:
+                if group & prev_group:
+                    matched_any = True
+                    best_count = max(best_count, count + 1)
+            new_groups.append((group, best_count))
+            if best_count >= th:
+                enough.append(c)
+            if not matched_any:
+                new_groups[-1] = (group, 0)
+        self.consistent_groups = new_groups
+        return enough
+
+    # ------------------------------------------------------------------
+    def _kf_cam_points(self, k: int):
+        """Map points of KF k in its camera frame + their feature pixels."""
+        mp = self.map.kf_mp[k]
+        feats = np.nonzero((mp >= 0) & self.map.mp_valid[np.clip(mp, 0, None)])[0]
+        ids = mp[feats]
+        pw = self.map.mp_pos[ids]
+        R, t = self.map.kf_R[k], self.map.kf_t[k]
+        pc = pw @ R.T + t
+        uv = self.map.kf_xy[k, feats]
+        octv = self.map.kf_octave[k, feats]
+        return feats, ids, pc, uv, octv
+
+    def _compute_sim3(self, k: int, candidates: List[int]):
+        """ComputeSim3 (:247-419). Returns (loop_kf, Scw(s,R,t), feat->loop_mp)
+        or None."""
+        sigma2 = self.map.scale_factors ** 2
+        for kc in candidates:
+            # descriptor matching between the two KFs' map-point features
+            f1, ids1, pc1, uv1, oct1 = self._kf_cam_points(k)
+            f2, ids2, pc2, uv2, oct2 = self._kf_cam_points(int(kc))
+            if len(f1) < 20 or len(f2) < 20:
+                continue
+            best_b, accept, dist = self._match_fn(
+                jnp.asarray(self.map.kf_desc[k, f1]), jnp.ones(len(f1), bool),
+                jnp.asarray(self.map.kf_angle[k, f1]),
+                jnp.asarray(self.map.kf_desc[int(kc), f2]), jnp.ones(len(f2), bool),
+                jnp.asarray(self.map.kf_angle[int(kc), f2]),
+            )
+            accept = np.asarray(accept)
+            best_b = np.asarray(best_b)
+            if accept.sum() < 20:
+                continue
+            m1 = np.nonzero(accept)[0]
+            m2 = best_b[m1]
+            n = len(m1)
+            pad = max(64, int(2 ** np.ceil(np.log2(max(n, 2)))))
+            def padded(x, fill=0.0):
+                out = np.full((pad, *x.shape[1:]), fill, x.dtype)
+                out[:n] = x
+                return jnp.asarray(out)
+            valid = jnp.asarray(np.arange(pad) < n)
+            self._key, sub = jax.random.split(self._key)
+            s12, R12, t12, inl, n_in = self._sim3_ransac(
+                sub,
+                padded(pc1[m1]), padded(pc2[m2]),
+                padded(uv1[m1]), padded(uv2[m2]),
+                padded(sigma2[oct1[m1]]), padded(sigma2[oct2[m2]]),
+                valid,
+                self.cfg.fx, self.cfg.fy, self.cfg.cx, self.cfg.cy,
+            )
+            if int(n_in) < 20:
+                continue
+            # refine (OptimizeSim3; acceptance >= 20, LoopClosing.cc:389)
+            s12, R12, t12, inl, n_in = self._sim3_refine(
+                s12, R12, t12,
+                padded(pc1[m1]), padded(pc2[m2]),
+                padded(uv1[m1]), padded(uv2[m2]),
+                padded(1.0 / sigma2[oct1[m1]]), padded(1.0 / sigma2[oct2[m2]]),
+                valid,
+                self.cfg.fx, self.cfg.fy, self.cfg.cx, self.cfg.cy,
+            )
+            if int(n_in) < self.cfg.place.sim3_min_inliers:
+                continue
+            s12 = float(s12)
+            R12 = np.asarray(R12)
+            t12 = np.asarray(t12)
+            # corrected current pose: Scw = S1_2 * S2_w  (:341-344)
+            S2w = (1.0, self.map.kf_R[int(kc)], self.map.kf_t[int(kc)])
+            scw = _sim3_mul((s12, R12, t12), S2w)
+
+            # gather loop map points (candidate + neighbors, :346-366)
+            loop_kfs = [int(kc)] + [int(x) for x in self.map.covisible_keyframes(int(kc))]
+            loop_mps = self.map.kf_mp[np.asarray(loop_kfs, np.int64)]
+            loop_mps = np.unique(loop_mps[loop_mps >= 0])
+            loop_mps = loop_mps[self.map.mp_valid[loop_mps]]
+
+            # SearchByProjection with Scw (:368-389 via ORBmatcher.cc:295-412)
+            matched = self._project_match_scw(k, scw, loop_mps, radius_th=10.0)
+            total = int((matched >= 0).sum())
+            if total >= self.cfg.place.loop_min_matches:
+                return int(kc), scw, matched
+        return None
+
+    def _project_match_scw(self, k: int, scw, loop_mps: np.ndarray, radius_th: float):
+        """Project loop MPs into KF k under the Sim3 Scw; returns [N]
+        feat->loop_mp (-1) (SearchByProjection(KF, Scw, ...))."""
+        s, R, t = scw
+        # fold scale into a rigid view for the matcher: x_c = s R x + t; the
+        # fuse matcher expects (R, t) with unit scale, so pre-scale
+        view = KFView(
+            xy=jnp.asarray(self.map.kf_xy[k]),
+            ur=jnp.asarray(self.map.kf_ur[k]),
+            depth=jnp.asarray(self.map.kf_depth[k]),
+            octave=jnp.asarray(self.map.kf_octave[k]),
+            desc=jnp.asarray(self.map.kf_desc[k]),
+            valid=jnp.asarray(self.map.kf_feat_valid[k]),
+            R=jnp.asarray((s * R).astype(np.float32)),
+            t=jnp.asarray(t.astype(np.float32)),
+        )
+        P = 4096
+        out = np.full(self.cfg.orb.n_features, -1, np.int64)
+        for s0 in range(0, len(loop_mps), P):
+            sub = loop_mps[s0 : s0 + P]
+            pad = P - len(sub)
+            sel = np.concatenate([sub, np.zeros(pad, np.int64)])
+            valid = np.concatenate([np.ones(len(sub), bool), np.zeros(pad, bool)])
+            best_feat, accept, dist = self._fuse_fn(
+                self.cam, view,
+                jnp.asarray(self.map.mp_pos[sel]),
+                jnp.asarray(self.map.mp_normal[sel]),
+                jnp.asarray(self.map.mp_min_dist[sel]),
+                jnp.asarray(self.map.mp_max_dist[sel]),
+                jnp.asarray(self.map.mp_desc[sel]),
+                jnp.asarray(valid),
+                radius_th=radius_th,
+            )
+            accept = np.asarray(accept)
+            best_feat = np.asarray(best_feat)
+            for i in np.nonzero(accept)[0]:
+                out[best_feat[i]] = sel[i]
+        return out
+
+    # ------------------------------------------------------------------
+    def _correct_loop(self, k: int, loop_kf: int, scw, matched_feat_mp: np.ndarray):
+        """CorrectLoop (:421-614)."""
+        if self.local_mapper is not None:
+            self.local_mapper.process_pending()
+
+        s_cw, R_cw, t_cw = scw
+        # corrected Sim3 for the covis group (:461-535)
+        group = [k] + [int(x) for x in self.map.covisible_keyframes(k)]
+        T_kw_old = (1.0, self.map.kf_R[k].copy(), self.map.kf_t[k].copy())
+        corrected: Dict[int, Tuple[float, np.ndarray, np.ndarray]] = {}
+        old_poses: Dict[int, Tuple[float, np.ndarray, np.ndarray]] = {}
+        for ki in group:
+            S_iw_old = (1.0, self.map.kf_R[ki].copy(), self.map.kf_t[ki].copy())
+            old_poses[ki] = S_iw_old
+            if ki == k:
+                corrected[ki] = scw
+            else:
+                # S_ik = S_iw_old * S_wk_old ; corrected = S_ik * Scw
+                S_ik = _sim3_mul(S_iw_old, _sim3_inv(*T_kw_old))
+                corrected[ki] = _sim3_mul(S_ik, scw)
+
+        # remap group map points + set corrected poses (:470-535)
+        moved: Set[int] = set()
+        for ki in group:
+            sc, Rc, tc = corrected[ki]
+            so, Ro, to = old_poses[ki]
+            mp = self.map.kf_mp[ki]
+            ids = mp[mp >= 0]
+            ids = ids[self.map.mp_valid[ids]]
+            fresh = [m for m in ids if m not in moved]
+            if fresh:
+                fresh = np.asarray(fresh)
+                pw = self.map.mp_pos[fresh]
+                # p' = S_iw_corr^-1 ( S_iw_old (p) )
+                pc = so * pw @ Ro.T + to
+                sci, Rci, tci = _sim3_inv(sc, Rc, tc)
+                pw_new = sci * pc @ Rci.T + tci
+                self.map.mp_pos[fresh] = pw_new.astype(np.float32)
+                moved.update(int(m) for m in fresh)
+            # pose: scale folded into translation: Tiw = [R, t/s] (:523-529)
+            self.map.kf_R[ki] = Rc.astype(np.float32)
+            self.map.kf_t[ki] = (tc / sc).astype(np.float32)
+
+        # loop fusion: replace current-KF features' points with loop points
+        # (:537-561)
+        for f in np.nonzero(matched_feat_mp >= 0)[0]:
+            m_loop = int(matched_feat_mp[f])
+            if not self.map.mp_valid[m_loop]:
+                continue
+            cur = int(self.map.kf_mp[k, f])
+            if cur >= 0 and self.map.mp_valid[cur]:
+                self.map.replace_map_point(cur, m_loop)
+            else:
+                self.map.kf_mp[k, f] = m_loop
+                self.map._add_observation(m_loop, k, int(f))
+
+        # SearchAndFuse: project loop MPs into corrected group KFs (:616-643)
+        loop_kfs = [loop_kf] + [int(x) for x in self.map.covisible_keyframes(loop_kf)]
+        loop_mps = self.map.kf_mp[np.asarray(loop_kfs, np.int64)]
+        loop_mps = np.unique(loop_mps[loop_mps >= 0])
+        loop_mps = loop_mps[self.map.mp_valid[loop_mps]]
+        if self.local_mapper is not None:
+            for ki in group:
+                self.local_mapper._fuse_points_into(loop_mps, ki)
+
+        # refresh covisibility for the group
+        for ki in group:
+            self.map.update_connections(ki)
+
+        # essential-graph optimization (:589-599 -> Optimizer.cc:784-1048)
+        self.loop_edges.setdefault(k, set()).add(loop_kf)
+        self.loop_edges.setdefault(loop_kf, set()).add(k)
+        self._optimize_essential_graph(k, loop_kf, corrected, old_poses)
+
+        # full global BA (RunGlobalBundleAdjustment, :674-779)
+        self._run_global_ba()
+
+        self.last_loop_kf = k
+        self.loop_closed_flag = True
+        self.n_loops += 1
+        self.map.big_change_idx += 1
+
+    # ------------------------------------------------------------------
+    def _optimize_essential_graph(self, k, loop_kf, corrected, old_poses):
+        """Assemble the essential graph (spanning tree + covis >= 100 + loop
+        edges, Optimizer.cc:809-988) and solve with the PCG pose-graph LM."""
+        kfs = np.nonzero(self.map.kf_valid)[0]
+        if len(kfs) < 3:
+            return
+        K = len(kfs)
+        idx_of = {int(kf): i for i, kf in enumerate(kfs)}
+
+        s_arr = np.ones(K, np.float32)
+        R_arr = np.zeros((K, 3, 3), np.float32)
+        t_arr = np.zeros((K, 3), np.float32)
+        for kf, i in idx_of.items():
+            # corrected group uses the Sim3 with scale (:830-847)
+            if kf in corrected:
+                sc, Rc, tc = corrected[kf]
+                s_arr[i], R_arr[i], t_arr[i] = sc, Rc, tc
+            else:
+                R_arr[i] = self.map.kf_R[kf]
+                t_arr[i] = self.map.kf_t[kf]
+
+        # edge measurements from PRE-correction poses
+        def old_pose_of(kf):
+            if kf in old_poses:
+                return old_poses[kf]
+            return (1.0, self.map.kf_R[kf], self.map.kf_t[kf])
+
+        edges = set()
+        ei, ej, ms, mR, mt, wts = [], [], [], [], [], []
+
+        def add_edge(a, b):
+            key = (min(a, b), max(a, b))
+            if key in edges or a == b:
+                return
+            edges.add(key)
+            Sa = old_pose_of(a)
+            Sb = old_pose_of(b)
+            s_, R_, t_ = _sim3_mul(Sa, _sim3_inv(*Sb))
+            ei.append(idx_of[a]); ej.append(idx_of[b])
+            ms.append(s_); mR.append(R_); mt.append(t_)
+            wts.append(1.0)
+
+        # the loop edge uses the CORRECTED relative pose (it's the new info)
+        def add_loop_edge(a, b):
+            key = (min(a, b), max(a, b))
+            if key in edges:
+                return
+            edges.add(key)
+            Sa = corrected.get(a, old_pose_of(a))
+            Sb = corrected.get(b, old_pose_of(b))
+            s_, R_, t_ = _sim3_mul(Sa, _sim3_inv(*Sb))
+            ei.append(idx_of[a]); ej.append(idx_of[b])
+            ms.append(s_); mR.append(R_); mt.append(t_)
+            wts.append(1.0)
+
+        add_loop_edge(k, loop_kf)
+        for kf in kfs:
+            kf = int(kf)
+            p = int(self.map.parent[kf])
+            if p >= 0 and p in idx_of:
+                add_edge(kf, p)
+            for le in self.loop_edges.get(kf, ()):
+                if le in idx_of:
+                    add_loop_edge(kf, le)
+            w = self.map.covis[kf]
+            for nb in np.nonzero(w >= self.cfg.place.essential_min_weight)[0]:
+                if int(nb) in idx_of:
+                    add_edge(kf, int(nb))
+
+        if len(ei) < 2:
+            return
+
+        fixed = np.zeros(K, bool)
+        fixed[idx_of[loop_kf]] = True
+
+        g = PoseGraph(
+            s=jnp.asarray(s_arr), R=jnp.asarray(R_arr), t=jnp.asarray(t_arr),
+            edge_i=jnp.asarray(ei, jnp.int32), edge_j=jnp.asarray(ej, jnp.int32),
+            m_s=jnp.asarray(ms, jnp.float32), m_R=jnp.asarray(np.stack(mR)),
+            m_t=jnp.asarray(np.stack(mt)), weight=jnp.asarray(wts, jnp.float32),
+            fixed=jnp.asarray(fixed),
+        )
+        s_new, R_new, t_new = self._essential(g)
+        s_new, R_new, t_new = map(np.asarray, (s_new, R_new, t_new))
+
+        # write back: correct points via their reference KF (Optimizer.cc:
+        # 1017-1047), then poses with scale folded in
+        mp_ids = np.nonzero(self.map.mp_valid)[0]
+        ref_kf = self.map.mp_obs_kf[mp_ids, 0]
+        ok = ref_kf >= 0
+        for m, rk in zip(mp_ids[ok], ref_kf[ok]):
+            i = idx_of.get(int(rk))
+            if i is None:
+                continue
+            # p' = S_corr^-1 (S_old (p))
+            so, Ro, to = old_pose_of(int(rk)) if int(rk) in corrected or True else None
+            pw = self.map.mp_pos[m]
+            pc = so * (Ro @ pw) + to
+            sc, Rc, tc = s_new[i], R_new[i], t_new[i]
+            sci = 1.0 / sc
+            pw_new = sci * (Rc.T @ (pc - tc))
+            self.map.mp_pos[m] = pw_new.astype(np.float32)
+
+        for kf, i in idx_of.items():
+            self.map.kf_R[kf] = R_new[i].astype(np.float32)
+            self.map.kf_t[kf] = (t_new[i] / s_new[i]).astype(np.float32)
+        # refresh derived point state
+        self.map.update_point_stats(mp_ids)
+
+    # ------------------------------------------------------------------
+    def _run_global_ba(self):
+        """Full BA over all keyframes/points, bounded by the jit capacities
+        (RunGlobalBundleAdjustment; abort/merge semantics are trivial in
+        synchronous mode — poses/points are written back directly)."""
+        ocfg = self.cfg.optim
+        C = ocfg.local_ba_max_cams + ocfg.local_ba_max_fixed
+        kfs = np.nonzero(self.map.kf_valid)[0]
+        if len(kfs) < 3 or len(kfs) > C:
+            return  # larger maps defer to the next round's sharded global BA
+        if self.local_mapper is None:
+            return
+        # reuse LocalMapping's assembler with every camera in the window
+        self.local_mapper._local_ba(int(kfs[-1]))

@@ -20,16 +20,49 @@ import jax.numpy as jnp
 from ..config import SlamConfig
 from ..frontend.frame import make_stereo_frame_fn
 from ..mapping.map_store import MapStore
+from ..place.bundle import PlaceRecognition
 from .local_mapping import LocalMapping
+from .loop_closing import LoopClosing
 from .tracking import Tracking, TrackState
 
 
 class System:
-    def __init__(self, cfg: SlamConfig, enable_mapping: bool = True):
+    def __init__(
+        self,
+        cfg: SlamConfig,
+        enable_mapping: bool = True,
+        enable_loop_closing: bool = True,
+        vocab_path: Optional[str] = None,
+        place_rec: Optional[PlaceRecognition] = None,
+        sensor: str = "stereo",
+    ):
+        """Boot the engine (System::System, System.cc:37-165): load the
+        vocabulary, create the map + keyframe database, wire the pipeline
+        stages (Tracking -> LocalMapping -> LoopClosing)."""
         self.cfg = cfg
         self.map = MapStore(cfg)
+        if place_rec is None:
+            if vocab_path is not None:
+                place_rec = PlaceRecognition.from_file(vocab_path)
+            else:
+                place_rec = PlaceRecognition.load_default()
+        self.place = place_rec
         self.local_mapper = LocalMapping(cfg, self.map) if enable_mapping else None
-        self.tracker = Tracking(cfg, self.map, self.local_mapper)
+        if self.local_mapper is not None:
+            self.local_mapper.monocular = sensor == "mono"
+        self.loop_closer = None
+        if enable_mapping and enable_loop_closing and self.place is not None:
+            # monocular loops solve for scale drift (bFixScale=false)
+            self.loop_closer = LoopClosing(
+                cfg, self.map, self.place.kfdb, fix_scale=(sensor != "mono")
+            )
+            self.loop_closer.local_mapper = self.local_mapper
+            self.local_mapper.loop_closer = self.loop_closer
+        self.tracker = Tracking(cfg, self.map, self.local_mapper, self.place)
+        self.tracker.sensor = sensor
+        from ..gridmap.grid import GridMapper
+
+        self.grid_mapper = GridMapper(cfg, self.map) if enable_mapping else None
         self._frame_fn = make_stereo_frame_fn(cfg)
         self.frame_times: List[float] = []
         self._frame_id = 0
@@ -45,6 +78,50 @@ class System:
         pose = self.tracker.track_stereo_frame(frame, self._frame_id, timestamp)
         if self.local_mapper is not None:
             self.local_mapper.process_pending()
+        if self.grid_mapper is not None:
+            loop_closed = bool(self.loop_closer and self.loop_closer.loop_closed_flag)
+            if loop_closed:
+                self.loop_closer.loop_closed_flag = False
+            self.grid_mapper.process_new(loop_closed)
+        self.frame_times.append(time.perf_counter() - t0)
+        self._frame_id += 1
+        return pose
+
+    def track_monocular(self, image, timestamp: float):
+        """System::TrackMonocular (System.cc:269-319)."""
+        import functools as _ft
+        from ..frontend.frame import build_mono_frame
+
+        t0 = time.perf_counter()
+        if not hasattr(self, "_mono_fn"):
+            self._mono_fn = jax.jit(_ft.partial(build_mono_frame, cfg=self.cfg))
+        frame = self._mono_fn(jnp.asarray(image, jnp.float32))
+        pose = self.tracker.track_mono_frame(frame, self._frame_id, timestamp)
+        if self.local_mapper is not None:
+            self.local_mapper.process_pending()
+        if self.grid_mapper is not None:
+            loop_closed = bool(self.loop_closer and self.loop_closer.loop_closed_flag)
+            if loop_closed:
+                self.loop_closer.loop_closed_flag = False
+            self.grid_mapper.process_new(loop_closed)
+        self.frame_times.append(time.perf_counter() - t0)
+        self._frame_id += 1
+        return pose
+
+    def track_rgbd(self, image, depth_map, timestamp: float):
+        """System::TrackRGBD (System.cc:218-267)."""
+        import functools as _ft
+        from ..frontend.frame import build_rgbd_frame
+
+        t0 = time.perf_counter()
+        if not hasattr(self, "_rgbd_fn"):
+            self._rgbd_fn = jax.jit(_ft.partial(build_rgbd_frame, cfg=self.cfg))
+        frame = self._rgbd_fn(jnp.asarray(image, jnp.float32), jnp.asarray(depth_map, jnp.float32))
+        pose = self.tracker.track_stereo_frame(frame, self._frame_id, timestamp)
+        if self.local_mapper is not None:
+            self.local_mapper.process_pending()
+        if self.grid_mapper is not None:
+            self.grid_mapper.process_new(False)
         self.frame_times.append(time.perf_counter() - t0)
         self._frame_id += 1
         return pose
@@ -75,6 +152,78 @@ class System:
             "mean_s": float(ts.mean()),
             "fps": float(1.0 / np.median(ts)),
         }
+
+    def occupancy_grid(self):
+        """Live occupancy grid (the reference publishes this as a ROS
+        nav_msgs/OccupancyGrid, GridMapping.cpp:137-174)."""
+        if self.grid_mapper is None:
+            return None
+        return self.grid_mapper.occupancy_grid()
+
+    def point_cloud(self):
+        if self.grid_mapper is None:
+            return None
+        return self.grid_mapper.point_cloud()
+
+    # ------------------------------------------------------------------
+    def activate_localization_mode(self):
+        """System::ActivateLocalizationMode (System.cc:321-331): tracking
+        continues against the frozen map; mapping stops inserting."""
+        self.tracker.only_tracking = True
+
+    def deactivate_localization_mode(self):
+        self.tracker.only_tracking = False
+
+    # ------------------------------------------------------------------
+    def save_map(self, path: str):
+        """System::SaveMap (System.cc:550-565)."""
+        from ..io.persistence import save_map
+
+        if self.local_mapper is not None:
+            self.local_mapper.finish()
+        save_map(path, self.map, next_frame_id=self._frame_id)
+
+    @classmethod
+    def from_map_file(cls, cfg: SlamConfig, path: str, **kwargs):
+        """System::LoadMap boot path (System.cc:567-596): restore the map,
+        recompute BoW for every keyframe against the loaded vocabulary, and
+        start the tracker LOST for relocalization (Tracking.cc:154-155)."""
+        from ..io.persistence import load_map
+
+        sys_ = cls(cfg, **kwargs)
+        m, next_frame_id = load_map(path, cfg)
+        sys_.map = m
+        # rewire every component onto the restored store
+        sys_.tracker.map = m
+        if sys_.local_mapper is not None:
+            sys_.local_mapper.map = m
+        if sys_.loop_closer is not None:
+            sys_.loop_closer.map = m
+        if sys_.grid_mapper is not None:
+            sys_.grid_mapper.map = m
+            sys_.grid_mapper.process_new(loop_closed=True)
+        sys_._frame_id = next_frame_id
+        # recompute BoW + inverted file per restored KF
+        if sys_.place is not None:
+            import jax.numpy as jnp
+
+            for k in np.nonzero(m.kf_valid)[0]:
+                words = np.asarray(
+                    sys_.place.transform(
+                        jnp.asarray(m.kf_desc[int(k)]),
+                        jnp.asarray(m.kf_feat_valid[int(k)]),
+                    )
+                )
+                sys_.place.kfdb.add(int(k), words)
+        from .tracking import TrackState
+
+        sys_.tracker.state = TrackState.LOST
+        sys_.tracker.ref_kf = int(np.nonzero(m.kf_valid)[0][-1]) if m.n_kf else -1
+        sys_.tracker.last_pose = (
+            m.kf_R[sys_.tracker.ref_kf].copy(), m.kf_t[sys_.tracker.ref_kf].copy()
+        ) if sys_.tracker.ref_kf >= 0 else None
+        sys_.tracker._bind_cur = np.full(cfg.orb.n_features, -1, np.int64)
+        return sys_
 
     def shutdown(self):
         if self.local_mapper is not None:

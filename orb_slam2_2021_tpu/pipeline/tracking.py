@@ -46,10 +46,12 @@ class FrameRecord:
 
 
 class Tracking:
-    def __init__(self, cfg: SlamConfig, map_store: MapStore, local_mapper=None):
+    def __init__(self, cfg: SlamConfig, map_store: MapStore, local_mapper=None,
+                 place_rec=None):
         self.cfg = cfg
         self.map = map_store
         self.local_mapper = local_mapper  # set by System; None = no mapping
+        self.place = place_rec            # PlaceRecognition bundle or None
         self.cam = PinholeCamera.create(
             cfg.fx, cfg.fy, cfg.cx, cfg.cy, cfg.bf, cfg.width, cfg.height
         )
@@ -61,6 +63,9 @@ class Tracking:
         self.last_kf_frame_id: int = -1
         self.records: List[FrameRecord] = []
         self.n_inliers_last = 0
+        self.only_tracking = False  # localization mode (mbOnlyTracking)
+        self.sensor = "stereo"      # "stereo" | "rgbd" | "mono"
+        self._mono_ref = None       # reference frame data for mono init
 
         self._motion_fn = make_motion_track_fn(cfg)
         self._local_fn = make_local_track_fn(cfg)
@@ -83,10 +88,10 @@ class Tracking:
         ok = False
         if self.state == TrackState.OK and self.velocity is not None:
             ok = self._track_motion_model(frame)
-        if not ok:
+        if not ok and self.state == TrackState.OK:
             ok = self._track_reference_kf(frame)
         if not ok:
-            # lost this frame: try relocalization against recent keyframes
+            # LOST (or both trackers failed): relocalize (Tracking.cc:330-341)
             ok = self._relocalize_lite(frame)
 
         if ok:
@@ -95,7 +100,7 @@ class Tracking:
         if ok:
             self.state = TrackState.OK
             self._update_motion_model()
-            if self._need_new_keyframe(frame, frame_id):
+            if not self.only_tracking and self._need_new_keyframe(frame, frame_id):
                 self._create_new_keyframe(frame, frame_id, timestamp)
         else:
             self.state = TrackState.LOST
@@ -106,6 +111,123 @@ class Tracking:
         return self.last_pose if ok else None
 
     # ------------------------------------------------------------------
+    def track_mono_frame(self, frame: Frame, frame_id: int, timestamp: float):
+        """Monocular per-frame entry (GrabImageMonocular -> Track)."""
+        self.sensor = "mono"
+        if self.state in (TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED):
+            ok = self._mono_initialize(frame, frame_id, timestamp)
+            self.state = TrackState.OK if ok else TrackState.NOT_INITIALIZED
+            return self.last_pose if ok else None
+        return self.track_stereo_frame(frame, frame_id, timestamp)
+
+    def _mono_initialize(self, frame: Frame, frame_id: int, timestamp: float) -> bool:
+        """MonocularInitialization (Tracking.cc:584-657) +
+        CreateInitialMapMonocular (:659-758): window-matched two-view
+        H/F bootstrap, triangulated map, median-depth normalization."""
+        import jax as _jax
+        from ..frontend.matchers import match_bruteforce_desc
+        from ..solvers.two_view import make_two_view_init
+
+        n_valid = int(np.asarray(frame.kp.valid).sum())
+        if self._mono_ref is None:
+            if n_valid > 100:
+                self._mono_ref = {
+                    "xy": np.asarray(frame.kp.xy),
+                    "desc": np.asarray(frame.kp.desc),
+                    "angle": np.asarray(frame.kp.angle),
+                    "octave": np.asarray(frame.kp.octave),
+                    "valid": np.asarray(frame.kp.valid),
+                    "frame_id": frame_id,
+                    "timestamp": timestamp,
+                }
+            return False
+        if n_valid <= 100:
+            self._mono_ref = None
+            return False
+        ref = self._mono_ref
+        # SearchForInitialization (ORBmatcher.cc:414-534): descriptor match
+        # with ratio 0.9 restricted to a 100 px window
+        best_b, accept, dist = match_bruteforce_desc(
+            jnp.asarray(ref["desc"]), jnp.asarray(ref["valid"]), jnp.asarray(ref["angle"]),
+            frame.kp.desc, frame.kp.valid, frame.kp.angle,
+            nn_ratio=0.9, th=50,
+        )
+        accept = np.asarray(accept)
+        best_b = np.asarray(best_b)
+        cur_xy = np.asarray(frame.kp.xy)
+        win_ok = (
+            np.abs(cur_xy[best_b] - ref["xy"]).max(axis=1) < 100.0
+        )
+        accept = accept & win_ok
+        if accept.sum() < 100:
+            self._mono_ref = None
+            return False
+
+        p1 = np.where(accept[:, None], ref["xy"], 0.0).astype(np.float32)
+        p2 = cur_xy[best_b].astype(np.float32)
+        fn = make_two_view_init(256)
+        res = fn(
+            _jax.random.PRNGKey(frame_id), jnp.asarray(p1), jnp.asarray(p2),
+            jnp.asarray(accept), self.cfg.fx, self.cfg.fy, self.cfg.cx, self.cfg.cy,
+        )
+        if not bool(res.ok):
+            return False
+        good = np.asarray(res.good)
+        if good.sum() < 80:
+            return False
+        R2 = np.asarray(res.R)
+        t2 = np.asarray(res.t)
+        pts = np.asarray(res.points)
+
+        # median-depth normalization (CreateInitialMapMonocular :731-757)
+        med = float(np.median(pts[good][:, 2]))
+        if med <= 0:
+            return False
+        inv_med = 1.0 / med
+        pts = pts * inv_med
+        t2 = t2 * inv_med
+
+        # KF0 (reference frame, identity) + KF1 (current)
+        N = frame.n
+        bind0 = np.full(N, -1, np.int64)
+        bind1 = np.full(N, -1, np.int64)
+        gi = np.nonzero(good)[0]
+        ids = self.map.add_map_points_batch(
+            pts[gi].astype(np.float32), ref["desc"][gi], first_kf=0
+        )
+        bind0[gi] = ids
+        bind1[best_b[gi]] = ids
+        neg = np.full(N, -1.0, np.float32)
+        k0 = self.map.add_keyframe(
+            np.eye(3, dtype=np.float32), np.zeros(3, np.float32),
+            ref["xy"], neg, neg, ref["octave"], ref["angle"], ref["desc"],
+            ref["valid"], bind0, ref["frame_id"], ref["timestamp"],
+        )
+        k1 = self.map.add_keyframe(
+            R2.astype(np.float32), t2.astype(np.float32),
+            cur_xy, np.asarray(frame.u_right), np.asarray(frame.depth),
+            np.asarray(frame.kp.octave), np.asarray(frame.kp.angle),
+            np.asarray(frame.kp.desc), np.asarray(frame.kp.valid),
+            bind1, frame_id, timestamp,
+        )
+        self.map.update_point_stats(ids)
+        self.ref_kf = k1
+        self.last_kf_frame_id = frame_id
+        self.last_pose = (R2.astype(np.float32), t2.astype(np.float32))
+        self.velocity = None
+        self._bind_cur = bind1
+        self._record_frame(frame_id, timestamp, lost=False)
+        self._stash_last_frame(frame)
+        words0 = None
+        if self.place is not None:
+            words0 = np.asarray(self.place.transform(jnp.asarray(ref["desc"]), jnp.asarray(ref["valid"])))
+        words1 = self._compute_words(frame)
+        if self.local_mapper is not None:
+            self.local_mapper.insert_keyframe(k0, words0)
+            self.local_mapper.insert_keyframe(k1, words1)
+        self._mono_ref = None
+        return True
+
     def _stereo_initialize(self, frame: Frame, frame_id: int, timestamp: float) -> bool:
         """StereoInitialization (Tracking.cc:530-582): need >= 500 features;
         create a map point for every feature with positive depth."""
@@ -146,8 +268,9 @@ class Tracking:
         self._bind_cur = mp_bind
         self._record_frame(frame_id, timestamp, lost=False)
         self._stash_last_frame(frame)
+        words = self._compute_words(frame)
         if self.local_mapper is not None:
-            self.local_mapper.insert_keyframe(k)
+            self.local_mapper.insert_keyframe(k, words)
         return True
 
     # ------------------------------------------------------------------
@@ -238,10 +361,94 @@ class Tracking:
         return True
 
     def _relocalize_lite(self, frame: Frame) -> bool:
-        """Stand-in for Relocalization (Tracking.cc:1368-1532) until the
-        BoW+EPnP path lands: try reference-KF matching from the last known
-        pose. TODO(place-recognition): KF database candidates + EPnP RANSAC."""
+        """Relocalization (Tracking.cc:1368-1532): keyframe-database
+        candidates -> descriptor matching -> PnP RANSAC -> pose optimization.
+        Falls back to reference-KF matching when no vocabulary is wired."""
+        if self.place is None:
+            return self._track_reference_kf(frame)
+        if self._relocalize_bow(frame):
+            return True
         return self._track_reference_kf(frame)
+
+    def _relocalize_bow(self, frame: Frame) -> bool:
+        import jax as _jax
+        from ..frontend.matchers import match_bruteforce_desc
+        from ..solvers.epnp import make_pnp_ransac
+
+        place = self.place
+        words = np.asarray(
+            place.transform(frame.kp.desc, frame.kp.valid)
+        )
+        cands = place.kfdb.detect_reloc_candidates(
+            words, lambda x: self.map.covisible_keyframes(x, 10)
+        )
+        if not cands:
+            return False
+        n = frame.n
+        sigma2 = self.map.scale_factors ** 2
+        for kc in cands[:5]:
+            kc = int(kc)
+            if not self.map.kf_valid[kc]:
+                continue
+            mp = self.map.kf_mp[kc]
+            feat_ok = (mp >= 0) & self.map.mp_valid[np.clip(mp, 0, None)]
+            if feat_ok.sum() < 15:
+                continue
+            best_b, accept, dist = match_bruteforce_desc(
+                frame.kp.desc, frame.kp.valid, frame.kp.angle,
+                jnp.asarray(self.map.kf_desc[kc]), jnp.asarray(feat_ok),
+                jnp.asarray(self.map.kf_angle[kc]),
+            )
+            accept = np.asarray(accept)
+            best_b = np.asarray(best_b)
+            if accept.sum() < 15:
+                continue
+            # PnP RANSAC on matched (world point, frame pixel) pairs
+            fidx = np.nonzero(accept)[0]
+            ids = mp[best_b[fidx]]
+            xw = np.zeros((n, 3), np.float32)
+            uv = np.zeros((n, 2), np.float32)
+            s2 = np.ones(n, np.float32)
+            valid = np.zeros(n, bool)
+            xw[fidx] = self.map.mp_pos[ids]
+            xy = np.asarray(frame.kp.xy)
+            uv[fidx] = xy[fidx]
+            s2[fidx] = sigma2[np.asarray(frame.kp.octave)[fidx]]
+            valid[fidx] = True
+            pnp = make_pnp_ransac(256)
+            key = _jax.random.PRNGKey(kc + 17)
+            R, t, inl, n_in = pnp(
+                key, jnp.asarray(xw), jnp.asarray(uv), jnp.asarray(s2),
+                jnp.asarray(valid), self.cfg.fx, self.cfg.fy, self.cfg.cx, self.cfg.cy,
+            )
+            if int(n_in) < 10:
+                continue
+            # pose optimization over the matches from the PnP pose
+            self.last_pose = (np.asarray(R), np.asarray(t))
+            lm = {
+                "xw": self.map.mp_pos[np.clip(mp, 0, None)],
+                "desc": self.map.kf_desc[kc],
+                "octave": self.map.kf_octave[kc],
+                "angle": self.map.kf_angle[kc],
+                "valid": feat_ok,
+                "ids": np.where(feat_ok, mp, -1),
+            }
+            Rn, tn, slot, inlier, n_opt, n_matched = self._motion_fn(
+                self.cam, frame.kp, frame.u_right,
+                jnp.asarray(self.last_pose[0]), jnp.asarray(self.last_pose[1]),
+                jnp.asarray(lm["xw"]), jnp.asarray(lm["desc"]),
+                jnp.asarray(lm["octave"]), jnp.asarray(lm["angle"]),
+                jnp.asarray(lm["valid"]),
+                jnp.float32(self.cfg.tracking.reloc_search_radius),
+            )
+            if int(n_opt) < 15:
+                continue
+            self._apply_matches(lm["ids"], np.asarray(slot), np.asarray(inlier))
+            self.last_pose = (np.asarray(Rn), np.asarray(tn))
+            self.ref_kf = kc
+            self.velocity = None
+            return True
+        return False
 
     def _apply_matches(self, ids, slot, inlier):
         """Bind current-frame features to map-point ids given matcher slots."""
@@ -357,8 +564,10 @@ class Tracking:
         inl = self.n_inliers_last
         c1a = frames_since >= self.cfg.tracking.max_frames_between_kf
         c1b = frames_since >= self.cfg.tracking.min_frames_between_kf  # mapping idle
-        c1c = inl < n_ref * 0.25 or need_close
+        c1c = (self.sensor != "mono") and (inl < n_ref * 0.25 or need_close)
         th_ratio = 0.75 if n_kf >= 2 else 0.4
+        if self.sensor == "mono":
+            th_ratio = 0.9  # Tracking.cc:1044
         c2 = (inl < n_ref * th_ratio or need_close) and inl > 15
         return bool((c1a or c1b or c1c) and c2)
 
@@ -405,8 +614,16 @@ class Tracking:
         self.ref_kf = k
         self.last_kf_frame_id = frame_id
         self._bind_cur = bind
+        words = self._compute_words(frame)
         if self.local_mapper is not None:
-            self.local_mapper.insert_keyframe(k)
+            self.local_mapper.insert_keyframe(k, words)
+
+    def _compute_words(self, frame: Frame):
+        """KF ComputeBoW (Frame.cc:447-454): descriptor -> word ids on
+        device; None when no vocabulary is configured."""
+        if self.place is None:
+            return None
+        return np.asarray(self.place.transform(frame.kp.desc, frame.kp.valid))
 
     # ------------------------------------------------------------------
     def _record_frame(self, frame_id: int, timestamp: float, lost: bool):

@@ -29,10 +29,19 @@ class KeyFrameDatabase:
     # ------------------------------------------------------------------
     def add(self, kf: int, words: np.ndarray):
         """KeyFrameDatabase::add (:39-47). words: [N] (-1 = invalid)."""
+        self.add_bow(kf, words)
+        self.add_to_index(kf)
+
+    def add_bow(self, kf: int, words: np.ndarray):
+        """Store the BoW vector only (scoring works, the KF is not yet a
+        retrieval candidate — DetectLoop adds to the inverted file at the
+        end, LoopClosing.cc:237-243)."""
         w, v = bow_vector(words, self.voc.word_idf, self.voc.n_words)
         self.bow[kf] = (w, v)
         self.words[kf] = w
-        for word in w:
+
+    def add_to_index(self, kf: int):
+        for word in self.bow[kf][0]:
             self.inverted[int(word)].append(kf)
 
     def erase(self, kf: int):

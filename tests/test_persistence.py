@@ -1,0 +1,58 @@
+"""Map save/load round-trip + relocalization against a loaded map
+(SURVEY.md §5 checkpoint/resume; System.cc:550-596)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from orb_slam2_2021_tpu.config import synthetic_config
+from orb_slam2_2021_tpu.io.synthetic import SyntheticStereoWorld, forward_trajectory
+from orb_slam2_2021_tpu.pipeline.system import System
+from orb_slam2_2021_tpu.pipeline.tracking import TrackState
+
+
+@pytest.mark.slow
+def test_save_load_relocalize(tmp_path):
+    cfg = synthetic_config(width=320, height=240)
+    world = SyntheticStereoWorld(cfg, seed=6)
+    gt = forward_trajectory(16, step=0.12)
+
+    sys_ = System(cfg)
+    est_at = {}
+    for i, (R, t) in enumerate(gt):
+        left, right = world.render(R, t)
+        pose = sys_.track_stereo(left, right, timestamp=i * 0.1)
+        if pose is not None:
+            est_at[i] = (-pose[0].T @ pose[1]).copy()
+    n_kf = int(sys_.map.kf_valid.sum())
+    n_mp = int(sys_.map.mp_valid.sum())
+    assert n_kf >= 2 and n_mp > 100
+    path = str(tmp_path / "map.npz")
+    sys_.save_map(path)
+    sys_.shutdown()
+
+    # boot a fresh system from the checkpoint: identical map, LOST state
+    sys2 = System.from_map_file(cfg, path)
+    assert int(sys2.map.kf_valid.sum()) == n_kf
+    assert int(sys2.map.mp_valid.sum()) == n_mp
+    assert sys2.tracker.state == TrackState.LOST
+    np.testing.assert_array_equal(
+        np.asarray(sys2.map.kf_R[: sys_.map.next_kf]),
+        np.asarray(sys_.map.kf_R[: sys_.map.next_kf]),
+    )
+    # KF database rebuilt for every live keyframe
+    assert len(sys2.place.kfdb.bow) == n_kf
+
+    # relocalize: feed a frame from a viewpoint seen mid-trajectory
+    R, t = gt[8]
+    left, right = world.render(R, t)
+    pose = sys2.track_stereo(left, right, timestamp=99.0)
+    assert pose is not None, "relocalization against loaded map failed"
+    Rcw, tcw = pose
+    c = -Rcw.T @ tcw
+    # relocalized pose must agree with the ORIGINAL run's estimate for that
+    # viewpoint (the map carries its own drift vs ground truth; reloc is
+    # correct if it is consistent with the map)
+    assert np.linalg.norm(c - est_at[8]) < 0.12, np.linalg.norm(c - est_at[8])
+    assert sys2.tracker.state == TrackState.OK
