@@ -11,8 +11,12 @@ Usage:
 `--reduced` = first 500 frames (scripts/stereo_kitti_red.sh semantics).
 """
 
+import os
 import sys
 import time
+
+# allow running as `python examples/run_slam.py` from the repo root
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

@@ -25,6 +25,7 @@ from typing import Dict, List, Optional, Set, Tuple
 import numpy as np
 
 from ..config import SlamConfig
+from .. import native
 
 OBS_CAP = 32  # max keyframes observing one map point (reverse-index cap)
 
@@ -122,10 +123,18 @@ class MapStore:
         self.kf_timestamp[k] = timestamp
         self.next_kf += 1
         self.n_kf += 1
-        # bind observations on the map-point side
-        feats = np.nonzero(mp_bind >= 0)[0]
-        for f in feats:
-            self._add_observation(int(mp_bind[f]), k, int(f))
+        # bind observations on the map-point side (native batch path when the
+        # C++ kernels are built; python loop otherwise)
+        if native.HAVE_NATIVE:
+            native.batch_add_observations(
+                k, self.kf_mp[k], self.kf_ur[k],
+                self.mp_obs_kf, self.mp_obs_feat, self.mp_obs_n, self.mp_n_obs,
+                OBS_CAP,
+            )
+        else:
+            feats = np.nonzero(mp_bind >= 0)[0]
+            for f in feats:
+                self._add_observation(int(mp_bind[f]), k, int(f))
         self.update_connections(k)
         return k
 
@@ -178,14 +187,17 @@ class MapStore:
         """KeyFrame::UpdateConnections (KeyFrame.cc:304-395): covisibility
         weights = shared map-point counts; edges kept if weight >= th (15) or
         at least the single best; parent = max-weight neighbor for new KFs."""
-        mps = self.kf_mp[k]
-        mps = mps[mps >= 0]
         counts = np.zeros(self.cfg.max_keyframes, np.int32)
-        if len(mps):
-            obs_kf = self.mp_obs_kf[mps].reshape(-1)
-            obs_kf = obs_kf[(obs_kf >= 0) & (obs_kf != k)]
-            if len(obs_kf):
-                np.add.at(counts, obs_kf, 1)
+        if native.HAVE_NATIVE:
+            native.covis_counts(k, self.kf_mp[k], self.mp_obs_kf, self.mp_obs_n, OBS_CAP, counts)
+        else:
+            mps = self.kf_mp[k]
+            mps = mps[mps >= 0]
+            if len(mps):
+                obs_kf = self.mp_obs_kf[mps].reshape(-1)
+                obs_kf = obs_kf[(obs_kf >= 0) & (obs_kf != k)]
+                if len(obs_kf):
+                    np.add.at(counts, obs_kf, 1)
         th = self.cfg.covis.weight_th
         keep = counts >= th
         if not keep.any() and counts.max(initial=0) > 0:
@@ -328,6 +340,15 @@ class MapStore:
         observations."""
         ids = np.asarray([m for m in np.unique(ids) if m >= 0 and self.mp_valid[m]])
         if len(ids) == 0:
+            return
+        if native.HAVE_NATIVE:
+            native.update_point_stats(
+                ids, self.mp_pos, self.mp_obs_kf, self.mp_obs_feat,
+                self.mp_obs_n, OBS_CAP,
+                self.kf_R, self.kf_t, self.kf_desc, self.kf_octave,
+                self.cfg.orb.n_features, self.scale_factors,
+                self.mp_normal, self.mp_min_dist, self.mp_max_dist, self.mp_desc,
+            )
             return
         for m in ids:
             n = int(self.mp_obs_n[m])
