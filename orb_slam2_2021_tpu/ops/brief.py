@@ -39,13 +39,13 @@ def brief_pattern():
         p = rng.normal(0.0, PATTERN_SIGMA, size=2)
         if float(p @ p) <= PATTERN_RADIUS * PATTERN_RADIUS:
             pts.append(p)
-    pat = np.asarray(pts, dtype=np.float32).reshape(N_BITS, 2, 2)
-    return jnp.asarray(pat)
+    # host constant: cached across jit traces (see ops/image._gaussian_kernel)
+    return np.asarray(pts, dtype=np.float32).reshape(N_BITS, 2, 2)
 
 
 @functools.lru_cache(maxsize=1)
 def _bit_weights():
-    return jnp.asarray((np.uint32(1) << np.arange(32, dtype=np.uint32)).astype(np.uint32))
+    return (np.uint32(1) << np.arange(32, dtype=np.uint32)).astype(np.uint32)
 
 
 def brief_descriptors(blurred, ys, xs, angles):

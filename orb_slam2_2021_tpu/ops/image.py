@@ -38,15 +38,19 @@ def build_pyramid(image, n_levels: int, scale_factor: float):
 
 @functools.lru_cache(maxsize=8)
 def _gaussian_kernel(ksize: int, sigma: float):
+    # numpy (not jnp): cached across jit traces, so must be a host constant —
+    # jnp ops inside a trace would cache tracers (UnexpectedTracerError).
+    import numpy as np
+
     half = ksize // 2
-    x = jnp.arange(-half, half + 1, dtype=jnp.float32)
-    k = jnp.exp(-0.5 * (x / sigma) ** 2)
-    return k / jnp.sum(k)
+    x = np.arange(-half, half + 1, dtype=np.float32)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return k / np.sum(k)
 
 
 def gaussian_blur(image, ksize: int = 7, sigma: float = 2.0):
     """Separable Gaussian blur with reflect padding, [H, W] -> [H, W]."""
-    k = _gaussian_kernel(ksize, sigma)
+    k = jnp.asarray(_gaussian_kernel(ksize, sigma))
     half = ksize // 2
     x = jnp.pad(image, ((half, half), (0, 0)), mode="reflect")
     # vertical pass: conv over rows

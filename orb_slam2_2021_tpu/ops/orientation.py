@@ -20,11 +20,15 @@ PATCH = 2 * HALF_PATCH + 1
 
 @functools.lru_cache(maxsize=1)
 def _circular_mask_and_coords():
-    ys = jnp.arange(-HALF_PATCH, HALF_PATCH + 1, dtype=jnp.float32)
-    dy = ys[:, None] * jnp.ones((1, PATCH), jnp.float32)
-    dx = ys[None, :] * jnp.ones((PATCH, 1), jnp.float32)
+    # numpy (not jnp): this cache is shared across jit traces, so the values
+    # must be host constants — jnp ops inside a trace would cache tracers.
+    import numpy as np
+
+    ys = np.arange(-HALF_PATCH, HALF_PATCH + 1, dtype=np.float32)
+    dy = ys[:, None] * np.ones((1, PATCH), np.float32)
+    dx = ys[None, :] * np.ones((PATCH, 1), np.float32)
     mask = (dy * dy + dx * dx) <= float(HALF_PATCH * HALF_PATCH)
-    return mask.astype(jnp.float32), dy, dx
+    return mask.astype(np.float32), dy, dx
 
 
 def gather_patches(image, ys, xs, half: int):
