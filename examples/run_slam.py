@@ -8,7 +8,12 @@ Usage:
   python examples/run_slam.py kitti <seq_dir> [--reduced]  # KITTI stereo
   python examples/run_slam.py tum <seq_dir>                # TUM RGB-D
 
-`--reduced` = first 500 frames (scripts/stereo_kitti_red.sh semantics).
+Options:
+  --reduced        first 500 frames (scripts/stereo_kitti_red.sh semantics)
+  --viz <dir>      write frame-overlay + map PNGs (Viewer equivalent)
+  --publish        NDJSON TCP pub/sub of os2_pose/os2_pointcloud/os2_gm
+                   (prints the port; the reference publishes these over ROS)
+  --save-map <f>   save the map checkpoint at shutdown (Map.mapfile)
 """
 
 import os
@@ -19,6 +24,36 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
+
+
+def _setup_outputs(sys_):
+    """Optional viewer + publisher from CLI flags."""
+    viewer, spub, tcp = None, None, None
+    if "--viz" in sys.argv:
+        from orb_slam2_2021_tpu.viz.viewer import Viewer
+
+        out_dir = sys.argv[sys.argv.index("--viz") + 1]
+        viewer = Viewer(sys_, out_dir=out_dir, stride=5)
+    if "--publish" in sys.argv:
+        from orb_slam2_2021_tpu.io.pubsub import (
+            MessageBus, SystemPublisher, TcpPublisher,
+            TOPIC_POSE, TOPIC_POINTCLOUD, TOPIC_GRID, TOPIC_GRID_POSE,
+        )
+
+        bus = MessageBus()
+        spub = SystemPublisher(sys_, bus)
+        tcp = TcpPublisher(bus, [TOPIC_POSE, TOPIC_POINTCLOUD, TOPIC_GRID, TOPIC_GRID_POSE])
+        print(f"publishing NDJSON on 127.0.0.1:{tcp.port}")
+    return viewer, spub, tcp
+
+
+def _per_frame_outputs(viewer, spub, image, ts, i):
+    if viewer is not None:
+        viewer.update(image)
+    if spub is not None:
+        spub.publish_frame(ts)
+        if i % 10 == 0:
+            spub.publish_map(ts)
 
 
 def main():
@@ -38,9 +73,11 @@ def main():
         world = SyntheticStereoWorld(cfg, seed=3)
         gt = forward_trajectory(n, step=0.12)
         sys_ = System(cfg)
+        viewer, spub, tcp = _setup_outputs(sys_)
         for i, (R, t) in enumerate(gt):
             left, right = world.render(R, t)
             pose = sys_.track_stereo(left, right, timestamp=i * 0.1)
+            _per_frame_outputs(viewer, spub, left, i * 0.1, i)
             state = sys_.tracker.state.name
             print(f"frame {i:04d}: {state} inliers={sys_.tracker.n_inliers_last} "
                   f"kf={sys_.map.n_kf}")
@@ -59,8 +96,10 @@ def main():
         )
         cfg = kitti_stereo_config()
         sys_ = System(cfg)
-        for ts, left, right in seq:
+        viewer, spub, tcp = _setup_outputs(sys_)
+        for i, (ts, left, right) in enumerate(seq):
             sys_.track_stereo(left, right, timestamp=ts)
+            _per_frame_outputs(viewer, spub, left, ts, i)
         sys_.shutdown()
     elif mode == "tum":
         from orb_slam2_2021_tpu.io.datasets import TumRgbdSequence
@@ -80,6 +119,10 @@ def main():
     sys_.save_trajectory_kitti("trajectory_kitti.txt")
     sys_.save_trajectory_tum("trajectory_tum.txt")
     print("saved trajectory_kitti.txt / trajectory_tum.txt")
+    if "--save-map" in sys.argv:
+        path = sys.argv[sys.argv.index("--save-map") + 1]
+        sys_.save_map(path)
+        print(f"saved map checkpoint to {path}")
 
 
 if __name__ == "__main__":

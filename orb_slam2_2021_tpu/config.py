@@ -170,6 +170,80 @@ class SlamConfig:
         return dataclasses.replace(self, **kw)
 
 
+def _parse_opencv_yaml(path: str):
+    """Tolerant parser for the reference's OpenCV-FileStorage YAML
+    (Examples/Stereo/arducam.yaml): flat `A.b: value` scalars plus
+    `!!opencv-matrix` blocks (rows/cols/dt/data). Returns (scalars: dict,
+    matrices: dict of numpy arrays)."""
+    import re
+
+    import numpy as np
+
+    scalars, matrices = {}, {}
+    text = open(path).read()
+    # matrix blocks
+    mat_re = re.compile(
+        r"^(\S+):\s*!!opencv-matrix\s*\n\s*rows:\s*(\d+)\s*\n\s*cols:\s*(\d+)"
+        r"\s*\n\s*dt:\s*\S+\s*\n\s*data:\s*\[([^\]]*)\]",
+        re.MULTILINE,
+    )
+    for m in mat_re.finditer(text):
+        name, rows, cols, data = m.group(1), int(m.group(2)), int(m.group(3)), m.group(4)
+        vals = np.asarray([float(v) for v in data.replace("\n", " ").split(",") if v.strip()])
+        matrices[name] = vals.reshape(rows, cols)
+    # scalar lines
+    for line in text.splitlines():
+        line = line.split("#")[0].strip()
+        if not line or line.startswith("%") or "!!opencv-matrix" in line:
+            continue
+        m = re.match(r"^([\w.]+):\s*(.+)$", line)
+        if not m or m.group(1) in matrices:
+            continue
+        key, val = m.group(1), m.group(2).strip()
+        if key in ("rows", "cols", "dt", "data") or val.startswith("["):
+            continue
+        try:
+            scalars[key] = float(val) if "." in val or "e" in val.lower() else int(val)
+        except ValueError:
+            scalars[key] = val.strip("'\"")
+    return scalars, matrices
+
+
+def config_from_yaml(path: str, **overrides) -> SlamConfig:
+    """Build a SlamConfig from a reference-format settings YAML.
+
+    Consumes the same keys the reference parses in the Tracking ctor
+    (Tracking.cc:60-153) and ORB block (arducam.yaml ORBextractor.*).
+    Rectification blocks (LEFT./RIGHT. K, D, R, P) are available through
+    io.rectify.rectification_from_yaml.
+    """
+    s, _ = _parse_opencv_yaml(path)
+    orb = OrbConfig(
+        n_features=int(s.get("ORBextractor.nFeatures", 2000)),
+        scale_factor=float(s.get("ORBextractor.scaleFactor", 1.2)),
+        n_levels=int(s.get("ORBextractor.nLevels", 8)),
+        ini_fast_th=int(s.get("ORBextractor.iniThFAST", 12)),
+        min_fast_th=int(s.get("ORBextractor.minThFAST", 7)),
+    )
+    fps = float(s.get("Camera.fps", 10.0))
+    cfg = SlamConfig(
+        fx=float(s.get("Camera.fx", 718.856)),
+        fy=float(s.get("Camera.fy", 718.856)),
+        cx=float(s.get("Camera.cx", 607.1928)),
+        cy=float(s.get("Camera.cy", 185.2157)),
+        bf=float(s.get("Camera.bf", 386.1448)),
+        fps=fps,
+        width=int(s.get("Camera.width", 1241)),
+        height=int(s.get("Camera.height", 376)),
+        orb=orb,
+        tracking=TrackingConfig(
+            th_depth_factor=float(s.get("ThDepth", 20.0)),
+            max_frames_between_kf=int(fps),
+        ),
+    )
+    return cfg.replace(**overrides) if overrides else cfg
+
+
 def kitti_stereo_config(**overrides) -> SlamConfig:
     """KITTI 00-02 intrinsics (the reference's eval suite, scripts/*.sh)."""
     cfg = SlamConfig(

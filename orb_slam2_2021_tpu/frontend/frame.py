@@ -54,19 +54,24 @@ def _stacked_pyramid(levels, h0: int, w0: int):
     return jnp.stack(stacked, axis=0)
 
 
-def _gather_rows(stacked, oct_, yy, xx, level_h, level_w):
-    """Gather pixel rows from per-keypoint pyramid levels.
+def _gather_blocks(stacked, oct_, y0, x0, bh: int, bw: int, level_h, level_w):
+    """Slice [N, bh, bw] blocks from per-keypoint pyramid levels.
 
-    stacked: [L, H0, W0]; oct_: [N]; yy, xx: [N, K] level coords.
-    Returns [N, K] intensities with coordinates clamped per level.
+    stacked: [L, H0, W0]; oct_/y0/x0: [N] level coords of the block corner.
+    vmapped dynamic_slice reads contiguous rows (fast path on TPU); block
+    corners are clamped inside each level's extent, which shifts (not
+    clamps) out-of-range windows — keypoints live >= EDGE_THRESHOLD px
+    inside so in practice nothing moves.
     """
     L, H0, W0 = stacked.shape
-    hmax = jnp.take(level_h, oct_)[:, None] - 1
-    wmax = jnp.take(level_w, oct_)[:, None] - 1
-    yyc = jnp.clip(yy, 0, hmax)
-    xxc = jnp.clip(xx, 0, wmax)
-    flat_idx = (oct_[:, None] * H0 + yyc) * W0 + xxc
-    return jnp.take(stacked.reshape(-1), flat_idx, axis=0)
+    y0c = jnp.clip(y0, 0, jnp.take(level_h, oct_) - bh)
+    x0c = jnp.clip(x0, 0, jnp.take(level_w, oct_) - bw)
+    img2d = stacked.reshape(L * H0, W0)
+
+    def one(o, y, x):
+        return jax.lax.dynamic_slice(img2d, (o * H0 + y, x), (bh, bw))
+
+    return jax.vmap(one)(oct_, y0c, x0c)
 
 
 def stereo_match(
@@ -122,23 +127,15 @@ def stereo_match(
     uR0_l = jnp.round(jnp.take(uR, best_idx) * isc).astype(jnp.int32)
 
     size = 2 * w + 1
-    dy = jnp.arange(-w, w + 1)
-    dxl = jnp.arange(-w, w + 1)
-    dxr = jnp.arange(-w - L, w + L + 1)  # widened window: 2w+2L+1 cols
-
-    yy = vL_l[:, None] + dy[None, :]                     # [N, 11]
-    xxl = uL_l[:, None] + dxl[None, :]                   # [N, 11]
-    xxr = uR0_l[:, None] + dxr[None, :]                  # [N, 21]
-
-    # gather [N, 11, 11] left patch and [N, 11, 21] right strip
-    yy2 = jnp.repeat(yy[:, :, None], size, axis=2).reshape(N, -1)
-    xxl2 = jnp.repeat(xxl[:, None, :], size, axis=1).reshape(N, -1)
-    patch_l = _gather_rows(left_stack, kpl.octave, yy2, xxl2, level_h, level_w).reshape(N, size, size)
-
     wide = 2 * (w + L) + 1
-    yy3 = jnp.repeat(yy[:, :, None], wide, axis=2).reshape(N, -1)
-    xxr2 = jnp.repeat(xxr[:, None, :], size, axis=1).reshape(N, -1)
-    strip_r = _gather_rows(right_stack, kpl.octave, yy3, xxr2, level_h, level_w).reshape(N, size, wide)
+
+    # slice [N, 11, 11] left patch and [N, 11, 21] right strip
+    patch_l = _gather_blocks(
+        left_stack, kpl.octave, vL_l - w, uL_l - w, size, size, level_h, level_w
+    )
+    strip_r = _gather_blocks(
+        right_stack, kpl.octave, vL_l - w, uR0_l - w - L, size, wide, level_h, level_w
+    )
 
     patch_l = patch_l - patch_l[:, w : w + 1, w : w + 1]  # center-normalize (Frame.cc:611)
 
@@ -190,18 +187,28 @@ def stereo_match(
 
 
 def build_stereo_frame(image_left, image_right, cfg: SlamConfig):
-    """Full stereo frame assembly — one jitted program for both eyes."""
-    kpl = extract_orb(image_left, cfg.orb)
-    kpr = extract_orb(image_right, cfg.orb)
+    """Full stereo frame assembly — one jitted program for both eyes.
+
+    Both eyes' pyramids/FAST/selection/descriptors run as one batch-2
+    extraction (the reference spawns two host threads, Frame.cc:113-116);
+    the raw pyramid stacks are reused for the SAD subpixel refinement.
+    """
+    from .features import extract_orb_batched
+
+    kp2, raw_stack = extract_orb_batched(
+        jnp.stack([image_left, image_right], axis=0), cfg.orb
+    )
+    kpl = jax.tree.map(lambda x: x[0], kp2)
+    kpr = jax.tree.map(lambda x: x[1], kp2)
 
     h0, w0 = image_left.shape
     shapes = pyramid_shapes(h0, w0, cfg.orb.n_levels, cfg.orb.scale_factor)
     level_h = jnp.asarray([s[0] for s in shapes], jnp.int32)
     level_w = jnp.asarray([s[1] for s in shapes], jnp.int32)
-    left_stack = _stacked_pyramid(build_pyramid(image_left, cfg.orb.n_levels, cfg.orb.scale_factor), h0, w0)
-    right_stack = _stacked_pyramid(build_pyramid(image_right, cfg.orb.n_levels, cfg.orb.scale_factor), h0, w0)
 
-    u_right, depth, sad = stereo_match(kpl, kpr, left_stack, right_stack, level_h, level_w, cfg)
+    u_right, depth, sad = stereo_match(
+        kpl, kpr, raw_stack[0], raw_stack[1], level_h, level_w, cfg
+    )
     return Frame(kp=kpl, u_right=u_right, depth=depth, sad_dist=sad)
 
 

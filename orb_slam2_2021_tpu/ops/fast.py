@@ -83,6 +83,81 @@ def nms3x3(score):
     return jnp.where((score >= pooled) & (score > 0.0), score, 0.0)
 
 
+def _has_arc(m):
+    """[..., int32 16-bit ring masks] -> bool: any 9 circularly-consecutive
+    set bits. AND of the mask with its 8 circular bit-rotations is nonzero
+    iff some start position has bits s..s+8 all set — 16 integer ops per
+    pixel instead of materializing [16, ...] boolean stacks."""
+    acc = m
+    for k in range(1, ARC_LEN):
+        rot = ((m >> k) | (m << (16 - k))) & 0xFFFF
+        acc = acc & rot
+    return acc != 0
+
+
+def fast_detect_batched(images, ini_threshold: float, min_threshold: float,
+                        border: int, ext_h, ext_w):
+    """Two-threshold FAST over a batch of (padded) images in ONE fused pass.
+
+    images: [B, H, W]; ext_h/ext_w: [B] int32 valid extents per batch slab
+    (stacked pyramid levels sit in the top-left corner of a common canvas).
+    Both thresholds share the 16 shifted reads — the reference runs cv::FAST
+    twice per empty cell (ORBextractor.cc:812-819). The segment test packs
+    the ring comparisons into per-pixel 16-bit masks and checks the
+    9-contiguous arc with bit rotations: everything is elementwise VPU work
+    XLA fuses into one kernel; nothing [16, B, H, W]-shaped is materialized.
+    Returns (strict, relaxed) NMS'd score maps, zero outside
+    [border, ext-border).
+    """
+    B, h, w = images.shape
+    zero = jnp.zeros((), images.dtype)
+    ms_b = jnp.zeros(images.shape, jnp.int32)
+    ms_d = jnp.zeros(images.shape, jnp.int32)
+    mr_b = jnp.zeros(images.shape, jnp.int32)
+    mr_d = jnp.zeros(images.shape, jnp.int32)
+    es_b = es_d = er_b = er_d = jnp.zeros(images.shape, images.dtype)
+    for i, (dy, dx) in enumerate(CIRCLE_OFFSETS):
+        diff = jnp.roll(images, shift=(-dy, -dx), axis=(1, 2)) - images
+        bit = jnp.int32(1 << i)
+        bs = diff > ini_threshold
+        ds = diff < -ini_threshold
+        ms_b = ms_b | jnp.where(bs, bit, 0)
+        ms_d = ms_d | jnp.where(ds, bit, 0)
+        es_b = es_b + jnp.where(bs, diff - ini_threshold, zero)
+        es_d = es_d + jnp.where(ds, -diff - ini_threshold, zero)
+        br = diff > min_threshold
+        dr = diff < -min_threshold
+        mr_b = mr_b | jnp.where(br, bit, 0)
+        mr_d = mr_d | jnp.where(dr, bit, 0)
+        er_b = er_b + jnp.where(br, diff - min_threshold, zero)
+        er_d = er_d + jnp.where(dr, -diff - min_threshold, zero)
+
+    strict = jnp.where(
+        _has_arc(ms_b) | _has_arc(ms_d), jnp.maximum(es_b, es_d), 0.0
+    )
+    relaxed = jnp.where(
+        _has_arc(mr_b) | _has_arc(mr_d), jnp.maximum(er_b, er_d), 0.0
+    )
+
+    ys = jnp.arange(h, dtype=jnp.int32)[None, :, None]
+    xs = jnp.arange(w, dtype=jnp.int32)[None, None, :]
+    in_border = (
+        (ys >= border) & (ys < ext_h[:, None, None] - border)
+        & (xs >= border) & (xs < ext_w[:, None, None] - border)
+    )
+    strict = jnp.where(in_border, nms3x3_batched(strict), 0.0)
+    relaxed = jnp.where(in_border, nms3x3_batched(relaxed), 0.0)
+    return strict, relaxed
+
+
+def nms3x3_batched(score):
+    """3x3 NMS over [B, H, W]."""
+    pooled = jax.lax.reduce_window(
+        score, -jnp.inf, jax.lax.max, (1, 3, 3), (1, 1, 1), "SAME"
+    )
+    return jnp.where((score >= pooled) & (score > 0.0), score, 0.0)
+
+
 def fast_detect(image, ini_threshold: float, min_threshold: float, border: int):
     """Two-threshold FAST as in the reference: strict threshold, with the
     relaxed threshold as fallback where the strict one found nothing nearby

@@ -56,3 +56,27 @@ def ic_angles(image, ys, xs):
     m01 = jnp.sum(wpatch * dy[None], axis=(1, 2))
     m10 = jnp.sum(wpatch * dx[None], axis=(1, 2))
     return jnp.arctan2(m01, m10)
+
+
+@functools.lru_cache(maxsize=1)
+def _moment_matrix():
+    """[961, 2] host constant: masked (dy, dx) weights -> (m01, m10) matmul."""
+    import numpy as np
+
+    mask, dy, dx = _circular_mask_and_coords()
+    return np.stack([(mask * dy).reshape(-1), (mask * dx).reshape(-1)], axis=1)
+
+
+def angles_from_patches(patches):
+    """IC angles from pre-gathered [..., 961] patches (31x31 row-major).
+
+    The moment sums become one [N, 961] x [961, 2] matmul (bf16 in, fp32
+    accumulate) — MXU work instead of masked VPU reductions.
+    """
+    W = jnp.asarray(_moment_matrix(), jnp.bfloat16)
+    lead = patches.shape[:-1]
+    m = jnp.dot(
+        patches.reshape(-1, PATCH * PATCH).astype(jnp.bfloat16), W,
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.arctan2(m[:, 0], m[:, 1]).reshape(lead)

@@ -28,6 +28,75 @@ def _pad_to_multiple(x, cell: int):
     return x
 
 
+def select_keypoints_batched(strict_score, relaxed_score, n_top: int, cell: int):
+    """Batched spatial-bucket selection over [B, H, W] score maps.
+
+    Returns (ys, xs, scores, valid) each [B, n_top], the per-slab best
+    n_top candidates in lexicographic (cell-rank, -response) order; the
+    caller slices each slab's actual per-level budget off the front.
+    H and W must be multiples of `cell` (callers pad the canvas).
+    """
+    B, hp, wp = strict_score.shape
+    hc, wc = hp // cell, wp // cell
+
+    def cells(x):
+        return (
+            x.reshape(B, hc, cell, wc, cell)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(B, hc * wc, cell * cell)
+        )
+
+    s_cells = cells(strict_score)
+    r_cells = cells(relaxed_score)
+    has_strict = jnp.max(s_cells, axis=2, keepdims=True) > 0.0
+    combined = jnp.where(has_strict, s_cells, r_cells)
+
+    k = min(K_PER_CELL, cell * cell)
+    # iterative argmax-and-suppress: k passes of cheap VPU reductions beat
+    # lax.top_k's full per-row sort for k << row length (NMS leaves rows
+    # nearly empty anyway)
+    vals_l, idx_l = [], []
+    x = combined
+    pos = jnp.arange(x.shape[2], dtype=jnp.int32)[None, None, :]
+    for _ in range(k):
+        i = jnp.argmax(x, axis=2).astype(jnp.int32)            # [B, C]
+        v = jnp.max(x, axis=2)
+        vals_l.append(v)
+        idx_l.append(i)
+        x = jnp.where(pos == i[..., None], -jnp.inf, x)
+    vals = jnp.stack(vals_l, axis=2)                           # [B, C, k]
+    idx = jnp.stack(idx_l, axis=2)
+    rank = jnp.arange(k, dtype=jnp.float32)[None, None, :]
+
+    flat_vals = vals.reshape(B, -1)
+    flat_rank = jnp.broadcast_to(rank, vals.shape).reshape(B, -1)
+    cell_ids = jnp.broadcast_to(
+        jnp.arange(hc * wc, dtype=jnp.int32)[None, :, None], vals.shape
+    ).reshape(B, -1)
+    flat_idx = idx.reshape(B, -1)
+
+    valid = flat_vals > 0.0
+    key = jnp.where(valid, -flat_rank * 1e5 + jnp.minimum(flat_vals, 9e4), -jnp.inf)
+    n_take = min(n_top, key.shape[1])
+    top_keys, top_pos = jax.lax.top_k(key, n_take)             # [B, n_take]
+
+    take = lambda a: jnp.take_along_axis(a, top_pos, axis=1)
+    sel_cell = take(cell_ids)
+    sel_inner = take(flat_idx)
+    sel_val = take(flat_vals)
+    sel_valid = jnp.isfinite(top_keys) & (sel_val > 0.0)
+
+    cy = sel_cell // wc
+    cx = sel_cell % wc
+    ys = cy * cell + sel_inner // cell
+    xs = cx * cell + sel_inner % cell
+    if n_take < n_top:
+        pad = [(0, 0), (0, n_top - n_take)]
+        ys, xs = jnp.pad(ys, pad), jnp.pad(xs, pad)
+        sel_val, sel_valid = jnp.pad(sel_val, pad), jnp.pad(sel_valid, pad)
+    return ys.astype(jnp.int32), xs.astype(jnp.int32), sel_val, sel_valid
+
+
 def select_keypoints(strict_score, relaxed_score, n_target: int, cell: int):
     """Pick n_target spatially-spread corners from dense score maps.
 
