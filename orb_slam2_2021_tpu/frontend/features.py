@@ -85,7 +85,10 @@ def build_pyramid_stack(images, cfg: OrbConfig):
         if lvl > 0:
             prev = jax.image.resize(prev, (B, th, tw), method="bilinear")
         slabs.append(jnp.pad(prev, ((0, 0), (0, Hc - th), (0, Wc - tw))))
-    stack = jnp.stack(slabs, axis=1)  # [B, L, Hc, Wc]
+    # bf16 canvas: intensities 0..255 are exact; resized levels round at
+    # ~0.4% — inside the front-end's own noise. Halves every downstream
+    # image read (FAST rings, blur, patch slices, stereo SAD).
+    stack = jnp.stack(slabs, axis=1).astype(jnp.bfloat16)  # [B, L, Hc, Wc]
     ext_h = np.asarray([s[0] for s in shapes], np.int32)
     ext_w = np.asarray([s[1] for s in shapes], np.int32)
     return stack, ext_h, ext_w

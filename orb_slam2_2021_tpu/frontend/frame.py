@@ -129,13 +129,14 @@ def stereo_match(
     size = 2 * w + 1
     wide = 2 * (w + L) + 1
 
-    # slice [N, 11, 11] left patch and [N, 11, 21] right strip
+    # slice [N, 11, 11] left patch and [N, 11, 21] right strip; SAD and the
+    # parabola refinement accumulate in fp32 (stacks may be bf16)
     patch_l = _gather_blocks(
         left_stack, kpl.octave, vL_l - w, uL_l - w, size, size, level_h, level_w
-    )
+    ).astype(jnp.float32)
     strip_r = _gather_blocks(
         right_stack, kpl.octave, vL_l - w, uR0_l - w - L, size, wide, level_h, level_w
-    )
+    ).astype(jnp.float32)
 
     patch_l = patch_l - patch_l[:, w : w + 1, w : w + 1]  # center-normalize (Frame.cc:611)
 

@@ -64,7 +64,9 @@ def select_keypoints_batched(strict_score, relaxed_score, n_top: int, cell: int)
         vals_l.append(v)
         idx_l.append(i)
         x = jnp.where(pos == i[..., None], -jnp.inf, x)
-    vals = jnp.stack(vals_l, axis=2)                           # [B, C, k]
+    # fp32 from here: the (rank, response) lexicographic key needs the
+    # rank*1e5 separation to dominate exactly (bf16 scores would alias)
+    vals = jnp.stack(vals_l, axis=2).astype(jnp.float32)       # [B, C, k]
     idx = jnp.stack(idx_l, axis=2)
     rank = jnp.arange(k, dtype=jnp.float32)[None, None, :]
 
