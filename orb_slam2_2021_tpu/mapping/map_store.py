@@ -384,11 +384,6 @@ class MapStore:
         t = self.kf_t[kfs]
         return -np.einsum("nij,ni->nj", R, t)
 
-    def predict_scale(self, dists: np.ndarray) -> np.ndarray:
-        """MapPoint::PredictScale (MapPoint.cc:415-447) vectorized over a
-        [P] distance array given per-point max_dist already gathered."""
-        raise NotImplementedError("use predict_scale_from in tracking snapshot")
-
     # ------------------------------------------------------------------
     # snapshots for jitted steps
     # ------------------------------------------------------------------

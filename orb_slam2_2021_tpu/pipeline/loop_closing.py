@@ -296,15 +296,20 @@ class LoopClosing:
                 S_ik = _sim3_mul(S_iw_old, _sim3_inv(*T_kw_old))
                 corrected[ki] = _sim3_mul(S_ik, scw)
 
-        # remap group map points + set corrected poses (:470-535)
-        moved: Set[int] = set()
+        # remap group map points + set corrected poses (:470-535). Record
+        # which group KF corrected each point (mnCorrectedByKF /
+        # mnCorrectedReference, LoopClosing.cc:489-492) — the essential-graph
+        # write-back must un-project these through the CORRECTED pose of that
+        # KF, not their reference KF's pre-correction pose
+        # (Optimizer.cc:1017-1032).
+        moved_by: Dict[int, int] = {}
         for ki in group:
             sc, Rc, tc = corrected[ki]
             so, Ro, to = old_poses[ki]
             mp = self.map.kf_mp[ki]
             ids = mp[mp >= 0]
             ids = ids[self.map.mp_valid[ids]]
-            fresh = [m for m in ids if m not in moved]
+            fresh = [m for m in ids if m not in moved_by]
             if fresh:
                 fresh = np.asarray(fresh)
                 pw = self.map.mp_pos[fresh]
@@ -313,7 +318,8 @@ class LoopClosing:
                 sci, Rci, tci = _sim3_inv(sc, Rc, tc)
                 pw_new = sci * pc @ Rci.T + tci
                 self.map.mp_pos[fresh] = pw_new.astype(np.float32)
-                moved.update(int(m) for m in fresh)
+                for m in fresh:
+                    moved_by[int(m)] = ki
             # pose: scale folded into translation: Tiw = [R, t/s] (:523-529)
             self.map.kf_R[ki] = Rc.astype(np.float32)
             self.map.kf_t[ki] = (tc / sc).astype(np.float32)
@@ -347,7 +353,7 @@ class LoopClosing:
         # essential-graph optimization (:589-599 -> Optimizer.cc:784-1048)
         self.loop_edges.setdefault(k, set()).add(loop_kf)
         self.loop_edges.setdefault(loop_kf, set()).add(k)
-        self._optimize_essential_graph(k, loop_kf, corrected, old_poses)
+        self._optimize_essential_graph(k, loop_kf, corrected, old_poses, moved_by)
 
         # full global BA (RunGlobalBundleAdjustment, :674-779)
         self._run_global_ba()
@@ -358,9 +364,16 @@ class LoopClosing:
         self.map.big_change_idx += 1
 
     # ------------------------------------------------------------------
-    def _optimize_essential_graph(self, k, loop_kf, corrected, old_poses):
+    def _optimize_essential_graph(self, k, loop_kf, corrected, old_poses,
+                                  moved_by: Optional[Dict[int, int]] = None):
         """Assemble the essential graph (spanning tree + covis >= 100 + loop
-        edges, Optimizer.cc:809-988) and solve with the PCG pose-graph LM."""
+        edges, Optimizer.cc:809-988) and solve with the PCG pose-graph LM.
+
+        `moved_by` maps point id -> the group KF whose loop correction already
+        moved it (mnCorrectedByKF semantics); those points are un-projected
+        through that KF's CORRECTED entry pose, all others through their
+        reference KF's entry pose (Optimizer.cc:1017-1047)."""
+        moved_by = moved_by or {}
         kfs = np.nonzero(self.map.kf_valid)[0]
         if len(kfs) < 3:
             return
@@ -443,23 +456,35 @@ class LoopClosing:
         s_new, R_new, t_new = self._essential(g)
         s_new, R_new, t_new = map(np.asarray, (s_new, R_new, t_new))
 
-        # write back: correct points via their reference KF (Optimizer.cc:
-        # 1017-1047), then poses with scale folded in
+        # write back: correct points p' = S_new^-1 (S_entry (p)) where S_entry
+        # is the pose consistent with the point's CURRENT position — the
+        # corrected Sim3 for points already moved by the loop correction
+        # (via their correcting KF, mnCorrectedReference), the reference KF's
+        # current pose otherwise (Optimizer.cc:1017-1047). s_arr/R_arr/t_arr
+        # hold exactly these entry poses (vScw, :813-847). Vectorized.
         mp_ids = np.nonzero(self.map.mp_valid)[0]
-        ref_kf = self.map.mp_obs_kf[mp_ids, 0]
-        ok = ref_kf >= 0
-        for m, rk in zip(mp_ids[ok], ref_kf[ok]):
-            i = idx_of.get(int(rk))
-            if i is None:
-                continue
-            # p' = S_corr^-1 (S_old (p))
-            so, Ro, to = old_pose_of(int(rk)) if int(rk) in corrected or True else None
-            pw = self.map.mp_pos[m]
-            pc = so * (Ro @ pw) + to
-            sc, Rc, tc = s_new[i], R_new[i], t_new[i]
-            sci = 1.0 / sc
-            pw_new = sci * (Rc.T @ (pc - tc))
-            self.map.mp_pos[m] = pw_new.astype(np.float32)
+        if len(mp_ids):
+            lut = np.full(self.map.kf_R.shape[0], -1, np.int64)
+            lut[kfs] = np.arange(K)
+            ref_kf = self.map.mp_obs_kf[mp_ids, 0]
+            rid = np.where(ref_kf >= 0, lut[np.clip(ref_kf, 0, None)], -1)
+            if moved_by:
+                pos_lut = np.full(self.map.mp_pos.shape[0], -1, np.int64)
+                pos_lut[mp_ids] = np.arange(len(mp_ids))
+                mv_ids = np.fromiter(moved_by.keys(), np.int64, len(moved_by))
+                mv_kf = np.fromiter(moved_by.values(), np.int64, len(moved_by))
+                p = pos_lut[mv_ids]
+                sel = p >= 0
+                rid[p[sel]] = lut[mv_kf[sel]]
+            okm = rid >= 0
+            ids = mp_ids[okm]
+            r = rid[okm]
+            pw = self.map.mp_pos[ids]
+            pc = s_arr[r, None] * np.einsum("nij,nj->ni", R_arr[r], pw) + t_arr[r]
+            pw_new = (1.0 / s_new[r])[:, None] * np.einsum(
+                "nji,nj->ni", R_new[r], pc - t_new[r]
+            )
+            self.map.mp_pos[ids] = pw_new.astype(np.float32)
 
         for kf, i in idx_of.items():
             self.map.kf_R[kf] = R_new[i].astype(np.float32)
