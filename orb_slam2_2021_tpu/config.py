@@ -98,6 +98,11 @@ class OptimConfig:
     local_ba_max_points: int = 4096
     local_ba_max_obs_per_point: int = 16
     local_ba_max_obs: int = 32768
+    # matrix-free Schur PCG (optim/ba_cg.py): inner CG iterations per LM step
+    cg_iters: int = 24
+    # CG-based local BA (no [P,Q,Q,6,6] Schur pair tensor, no per-point obs
+    # cap); the dense reduced-system path remains for comparison
+    use_cg_local_ba: bool = True
 
 
 @dataclass(frozen=True)

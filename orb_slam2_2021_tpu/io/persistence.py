@@ -37,7 +37,7 @@ def save_map(path: str, m: MapStore, next_frame_id: int = 0):
     arrays = {}
     K, M = m.next_kf, m.next_mp
     for f in _KF_FIELDS:
-        arrays[f] = getattr(m, f)[:K] if getattr(m, f).shape[0] == m.cfg.max_keyframes else getattr(m, f)
+        arrays[f] = getattr(m, f)[:K]
     # covis is [K_cap, K_cap]
     arrays["covis"] = m.covis[:K, :K]
     for f in _MP_FIELDS:
@@ -61,15 +61,22 @@ def load_map(path: str, cfg: SlamConfig) -> tuple[MapStore, int]:
     meta = json.loads(bytes(z["_meta"]).decode())
     m = MapStore(cfg)
     K, M = meta["next_kf"], meta["next_mp"]
-    if K > cfg.max_keyframes or M > cfg.max_map_points:
-        raise ValueError("checkpoint exceeds configured capacities")
+    m.ensure_kf_capacity(K)
+    m.ensure_mp_capacity(M)
+    # match the checkpoint's observation fan-in width
+    saved_cap = z["mp_obs_kf"].shape[1]
+    while m.obs_cap < saved_cap:
+        m._grow_obs_cap()
     for f in _KF_FIELDS:
         if f == "covis":
             m.covis[:K, :K] = z["covis"]
         else:
             getattr(m, f)[:K] = z[f]
     for f in _MP_FIELDS:
-        getattr(m, f)[:M] = z[f]
+        if f in ("mp_obs_kf", "mp_obs_feat"):
+            getattr(m, f)[:M, :saved_cap] = z[f]
+        else:
+            getattr(m, f)[:M] = z[f]
     m.next_kf = K
     m.next_mp = M
     m.n_kf = meta["n_kf"]

@@ -19,6 +19,7 @@ consistency the reference gets from Map::mMutexMapUpdate (Tracking.cc:297).
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Set, Tuple
 
@@ -27,15 +28,26 @@ import numpy as np
 from ..config import SlamConfig
 from .. import native
 
-OBS_CAP = 32  # max keyframes observing one map point (reverse-index cap)
+OBS_CAP = 32  # initial per-point observation fan-in (grows by doubling)
 
 
 class MapStore:
+    """All arrays grow by doubling on the host when full (cfg.max_keyframes /
+    cfg.max_map_points are the INITIAL capacities); jitted consumers see
+    fixed-size padded snapshots, so growth never retraces device code."""
+
     def __init__(self, cfg: SlamConfig):
         self.cfg = cfg
         K = cfg.max_keyframes
         M = cfg.max_map_points
         N = cfg.orb.n_features
+        self.obs_cap = OBS_CAP
+        # the map-update lock (Map::mMutexMapUpdate, Tracking.cc:297): held by
+        # the tracking lane for its host-side map section and by the mapping
+        # worker for mutations; long device solves run outside it on padded
+        # snapshots and re-validate at write-back. Reentrant so the sync mode
+        # (everything on one thread) is unchanged.
+        self.lock = threading.RLock()
 
         # --- keyframes ---
         self.kf_valid = np.zeros(K, bool)
@@ -73,8 +85,8 @@ class MapStore:
         self.mp_visible = np.ones(M, np.int32)
         self.mp_found = np.ones(M, np.int32)
         self.mp_first_kf = np.full(M, -1, np.int64)
-        self.mp_obs_kf = np.full((M, OBS_CAP), -1, np.int64)
-        self.mp_obs_feat = np.full((M, OBS_CAP), -1, np.int32)
+        self.mp_obs_kf = np.full((M, self.obs_cap), -1, np.int64)
+        self.mp_obs_feat = np.full((M, self.obs_cap), -1, np.int32)
         self.mp_obs_n = np.zeros(M, np.int32)
         self.mp_replaced_by = np.full(M, -1, np.int64)  # Replace() forwarding
         self.next_mp = 0
@@ -86,6 +98,73 @@ class MapStore:
         self.log_scale = float(np.log(cfg.orb.scale_factor))
 
         self.big_change_idx = 0  # Map::InformNewBigChange (Map.cc)
+
+    # ------------------------------------------------------------------
+    # capacity growth (grow-by-doubling; the reference's pointer graph is
+    # unbounded, ours is amortized-O(1) reallocation)
+    # ------------------------------------------------------------------
+    @property
+    def kf_capacity(self) -> int:
+        return len(self.kf_valid)
+
+    @property
+    def mp_capacity(self) -> int:
+        return len(self.mp_valid)
+
+    @staticmethod
+    def _grown(a: np.ndarray, new_n: int, fill) -> np.ndarray:
+        out = np.full((new_n, *a.shape[1:]), fill, a.dtype)
+        out[: len(a)] = a
+        return out
+
+    _KF_GROW = [
+        ("kf_valid", False), ("kf_R", 0.0), ("kf_t", 0.0), ("kf_xy", 0.0),
+        ("kf_ur", -1.0), ("kf_depth", -1.0), ("kf_octave", 0), ("kf_angle", 0.0),
+        ("kf_desc", 0), ("kf_feat_valid", False), ("kf_mp", -1),
+        ("kf_frame_id", 0), ("kf_timestamp", 0.0), ("parent", -1),
+        ("kf_not_erase", False), ("kf_to_be_erased", False),
+    ]
+    _MP_GROW = [
+        ("mp_valid", False), ("mp_pos", 0.0), ("mp_desc", 0), ("mp_normal", 0.0),
+        ("mp_min_dist", 0.0), ("mp_max_dist", 0.0), ("mp_n_obs", 0),
+        ("mp_visible", 1), ("mp_found", 1), ("mp_first_kf", -1),
+        ("mp_obs_kf", -1), ("mp_obs_feat", -1), ("mp_obs_n", 0),
+        ("mp_replaced_by", -1),
+    ]
+
+    def ensure_kf_capacity(self, n: int):
+        K = self.kf_capacity
+        if n <= K:
+            return
+        new_K = K
+        while new_K < n:
+            new_K *= 2
+        for name, fill in self._KF_GROW:
+            setattr(self, name, self._grown(getattr(self, name), new_K, fill))
+        covis = np.zeros((new_K, new_K), np.int32)
+        covis[:K, :K] = self.covis
+        self.covis = covis
+
+    def ensure_mp_capacity(self, n: int):
+        M = self.mp_capacity
+        if n <= M:
+            return
+        new_M = M
+        while new_M < n:
+            new_M *= 2
+        for name, fill in self._MP_GROW:
+            setattr(self, name, self._grown(getattr(self, name), new_M, fill))
+
+    def _grow_obs_cap(self):
+        """Double the per-point observation fan-in columns."""
+        cap = self.obs_cap
+        self.mp_obs_kf = np.concatenate(
+            [self.mp_obs_kf, np.full((len(self.mp_obs_kf), cap), -1, np.int64)], axis=1
+        )
+        self.mp_obs_feat = np.concatenate(
+            [self.mp_obs_feat, np.full((len(self.mp_obs_feat), cap), -1, np.int32)], axis=1
+        )
+        self.obs_cap = 2 * cap
 
     # ------------------------------------------------------------------
     # keyframe lifecycle
@@ -106,8 +185,7 @@ class MapStore:
         timestamp: float = 0.0,
     ) -> int:
         k = self.next_kf
-        if k >= self.cfg.max_keyframes:
-            raise RuntimeError("keyframe capacity exceeded")
+        self.ensure_kf_capacity(k + 1)
         self.kf_valid[k] = True
         self.kf_R[k] = R_cw
         self.kf_t[k] = t_cw
@@ -125,11 +203,14 @@ class MapStore:
         self.n_kf += 1
         # bind observations on the map-point side (native batch path when the
         # C++ kernels are built; python loop otherwise)
+        bound = mp_bind[mp_bind >= 0]
+        if len(bound) and (self.mp_obs_n[bound] >= self.obs_cap).any():
+            self._grow_obs_cap()  # one KF adds <= 1 obs per point
         if native.HAVE_NATIVE:
             native.batch_add_observations(
                 k, self.kf_mp[k], self.kf_ur[k],
                 self.mp_obs_kf, self.mp_obs_feat, self.mp_obs_n, self.mp_n_obs,
-                OBS_CAP,
+                self.obs_cap,
             )
         else:
             feats = np.nonzero(mp_bind >= 0)[0]
@@ -187,9 +268,9 @@ class MapStore:
         """KeyFrame::UpdateConnections (KeyFrame.cc:304-395): covisibility
         weights = shared map-point counts; edges kept if weight >= th (15) or
         at least the single best; parent = max-weight neighbor for new KFs."""
-        counts = np.zeros(self.cfg.max_keyframes, np.int32)
+        counts = np.zeros(self.kf_capacity, np.int32)
         if native.HAVE_NATIVE:
-            native.covis_counts(k, self.kf_mp[k], self.mp_obs_kf, self.mp_obs_n, OBS_CAP, counts)
+            native.covis_counts(k, self.kf_mp[k], self.mp_obs_kf, self.mp_obs_n, self.obs_cap, counts)
         else:
             mps = self.kf_mp[k]
             mps = mps[mps >= 0]
@@ -220,8 +301,7 @@ class MapStore:
     # ------------------------------------------------------------------
     def add_map_point(self, pos, desc, first_kf: int) -> int:
         m = self.next_mp
-        if m >= self.cfg.max_map_points:
-            raise RuntimeError("map point capacity exceeded")
+        self.ensure_mp_capacity(m + 1)
         self.mp_valid[m] = True
         self.mp_pos[m] = pos
         self.mp_desc[m] = desc
@@ -236,8 +316,7 @@ class MapStore:
         """Vectorized bulk insert; returns the new ids."""
         n = len(pos)
         m0 = self.next_mp
-        if m0 + n > self.cfg.max_map_points:
-            raise RuntimeError("map point capacity exceeded")
+        self.ensure_mp_capacity(m0 + n)
         sl = slice(m0, m0 + n)
         self.mp_valid[sl] = True
         self.mp_pos[sl] = pos
@@ -253,8 +332,8 @@ class MapStore:
         """MapPoint::AddObservation (MapPoint.cc:128-139); stereo features
         count 2 toward nObs."""
         n = self.mp_obs_n[m]
-        if n >= OBS_CAP:
-            return
+        if n >= self.obs_cap:
+            self._grow_obs_cap()
         # already observed by this KF?
         if (self.mp_obs_kf[m, :n] == k).any():
             return
@@ -344,7 +423,7 @@ class MapStore:
         if native.HAVE_NATIVE:
             native.update_point_stats(
                 ids, self.mp_pos, self.mp_obs_kf, self.mp_obs_feat,
-                self.mp_obs_n, OBS_CAP,
+                self.mp_obs_n, self.obs_cap,
                 self.kf_R, self.kf_t, self.kf_desc, self.kf_octave,
                 self.cfg.orb.n_features, self.scale_factors,
                 self.mp_normal, self.mp_min_dist, self.mp_max_dist, self.mp_desc,

@@ -127,9 +127,10 @@ void update_point_stats(
         }
 
         // distinctive descriptor: min median Hamming among observations
-        // (cap the pairwise work at 32x32 — OBS_CAP bounds n anyway)
+        // (pairwise work capped at 64x64; points with a wider fan-in use
+        // their first 64 observations)
         uint64_t descs[64][4];
-        int nn = n;
+        int nn = n < 64 ? n : 64;
         for (int32_t i = 0; i < nn; ++i) {
             const uint32_t* d = kf_desc + (okf[i] * n_feats + ofe[i]) * 8;
             std::memcpy(descs[i], d, 32);

@@ -8,15 +8,19 @@ per inserted keyframe:
   3. new point triangulation against covisible neighbors
      (CreateNewMapPoints, 211-458) via the jitted epipolar+DLT step
   4. neighbor fusion both directions (SearchInNeighbors, 460-543)
-  5. local bundle adjustment (Schur-complement LM, optim/ba.py)
+  5. local bundle adjustment (Schur-complement LM, optim/ba.py + ba_cg.py)
   6. keyframe culling (KeyFrameCulling, 640-706)
 
-Runs synchronously (process_pending) for determinism; the async pipeline
-driver wraps this in a worker thread.
+Runs synchronously (process_pending) for determinism, or on a worker thread
+(run_worker, spawned by System in async mode — the reference's
+`new thread(&LocalMapping::Run, ...)`, System.cc:129-133). In async mode the
+local BA is host-stepped one LM iteration at a time so a newly inserted
+keyframe aborts it (mbAbortBA, LocalMapping.cc:123 -> Optimizer.cc:519-520).
 """
 
 from __future__ import annotations
 
+import threading
 from collections import deque
 from typing import Deque, Dict, List, Optional
 
@@ -26,7 +30,9 @@ import jax.numpy as jnp
 from ..config import SlamConfig
 from ..geometry.camera import PinholeCamera
 from ..mapping.map_store import MapStore
-from ..optim.ba import BAProblem, make_local_ba
+from ..optim.assemble import assemble_ba_problem
+from ..optim.ba import make_local_ba
+from ..optim.ba_cg import make_local_ba_cg
 from .mapping_steps import KFView, make_fuse_fn, make_triangulate_fn
 
 
@@ -43,31 +49,75 @@ class LocalMapping:
         self.enable_ba = enable_ba
         self._tri_fn = make_triangulate_fn(cfg)
         self._fuse_fn = make_fuse_fn(cfg)
-        self._ba_fn = make_local_ba(cfg.optim) if enable_ba else None
+        if not enable_ba:
+            self._ba_fn = None
+        elif cfg.optim.use_cg_local_ba:
+            self._ba_fn = make_local_ba_cg(cfg.optim)
+        else:
+            self._ba_fn = make_local_ba(cfg.optim)
         self.abort_ba = False  # mbAbortBA (LocalMapping.cc:123)
         self.monocular = False  # set by System; changes culling thresholds
+        # worker-thread state (async mode)
+        self._cv = threading.Condition()
+        self._finish_requested = False
+        self.async_mode = False
 
     def insert_keyframe(self, k: int, words=None):
-        self.queue.append((k, words))
-        self.abort_ba = True
+        with self._cv:
+            self.queue.append((k, words))
+            self.abort_ba = True
+            self._cv.notify()
         mps = self.map.kf_mp[k]
         for m in mps[mps >= 0]:
             if self.map.mp_first_kf[m] == self.map.kf_frame_id[k] or self.map.mp_first_kf[m] == k:
                 self.recent[int(m)] = k
 
+    def _pop(self):
+        with self._cv:
+            if not self.queue:
+                return None
+            item = self.queue.popleft()
+            self.abort_ba = bool(self.queue)
+            return item
+
     def process_pending(self):
-        while self.queue:
-            k, words = self.queue.popleft()
-            self.abort_ba = False
-            self._process(k, words)
+        while True:
+            item = self._pop()
+            if item is None:
+                return
+            self._process(*item)
+
+    # ------------------------------------------------------------------
+    def run_worker(self):
+        """Mapping worker loop (LocalMapping::Run, LocalMapping.cc:52-117):
+        drain the KF queue; loop closing runs inline on this thread (its GBA
+        spawns an ephemeral thread of its own, LoopClosing.cc:604-608)."""
+        while True:
+            with self._cv:
+                while not self.queue and not self._finish_requested:
+                    self._cv.wait(timeout=0.05)
+                if self._finish_requested and not self.queue:
+                    return
+            self.process_pending()
+
+    def request_finish(self):
+        """RequestFinish (LocalMapping.cc:731-736)."""
+        with self._cv:
+            self._finish_requested = True
+            self._cv.notify_all()
 
     def _process(self, k: int, words=None):
-        self._cull_recent_points(k)
-        self._create_new_points(k)
-        self._fuse_neighbors(k)
+        lock = self.map.lock
+        with lock:
+            if not self.map.kf_valid[k]:
+                return
+            self._cull_recent_points(k)
+            self._create_new_points(k)
+            self._fuse_neighbors(k)
         if self.enable_ba and self.map.n_kf > 2 and not self.queue:
             self._local_ba(k)
-        self._cull_keyframes(k)
+        with lock:
+            self._cull_keyframes(k)
         if self.loop_closer is not None:
             self.loop_closer.insert_keyframe(k, words)
             self.loop_closer.process_pending()
@@ -245,125 +295,113 @@ class LocalMapping:
 
     # ------------------------------------------------------------------
     def _local_ba(self, k: int):
-        """Assemble the local window and run the jitted Schur LM
-        (Optimizer::LocalBundleAdjustment, Optimizer.cc:454-782)."""
+        """Assemble the local window and run the Schur LM
+        (Optimizer::LocalBundleAdjustment, Optimizer.cc:454-782). Assembly and
+        write-back hold the map lock; the device solve runs outside it. In
+        async mode the solve is host-stepped per LM iteration and honors
+        abort_ba (Optimizer.cc:519-520 force-stop semantics)."""
         ocfg = self.cfg.optim
         C = ocfg.local_ba_max_cams + ocfg.local_ba_max_fixed
         P = ocfg.local_ba_max_points
         O = ocfg.local_ba_max_obs
         Q = ocfg.local_ba_max_obs_per_point
 
-        # local cameras: k + covisibles (Optimizer.cc:456-476)
-        local = [k] + [int(x) for x in self.map.covisible_keyframes(k, ocfg.local_ba_max_cams - 1)]
-        local_set = set(local)
-        # local points: all points of local KFs
-        mp = self.map.kf_mp[np.asarray(local, np.int64)]
-        mp = np.unique(mp[mp >= 0])
-        mp = mp[self.map.mp_valid[mp]]
-        if len(mp) > P:
-            order = np.argsort(-self.map.mp_n_obs[mp], kind="stable")
-            mp = mp[order[:P]]
-        if len(mp) < 8 or len(local) < 2:
-            return
-        # fixed cameras: other observers of local points (Optimizer.cc:489-506)
-        obs_kf_all = self.map.mp_obs_kf[mp]
-        fixed = np.unique(obs_kf_all[obs_kf_all >= 0])
-        fixed = [int(x) for x in fixed if int(x) not in local_set][: ocfg.local_ba_max_fixed]
-        # keep KF0 fixed if present in local (gauge freedom; ref fixes kf id<=1...
-        # Optimizer.cc:579: setFixed(pKFi->mnId==0))
-        cams = local + fixed
-        cam_index = {kf: i for i, kf in enumerate(cams)}
-        n_cams = len(cams)
-        if n_cams > C:
-            cams = cams[:C]
-            n_cams = C
+        with self.map.lock:
+            # local cameras: k + covisibles (Optimizer.cc:456-476)
+            local = [k] + [int(x) for x in self.map.covisible_keyframes(k, ocfg.local_ba_max_cams - 1)]
+            local_set = set(local)
+            # local points: all points of local KFs
+            mp = self.map.kf_mp[np.asarray(local, np.int64)]
+            mp = np.unique(mp[mp >= 0])
+            mp = mp[self.map.mp_valid[mp]]
+            if len(mp) > P:
+                order = np.argsort(-self.map.mp_n_obs[mp], kind="stable")
+                mp = mp[order[:P]]
+            if len(mp) < 8 or len(local) < 2:
+                return
+            # fixed cameras: other observers of local points (Optimizer.cc:489-506)
+            obs_kf_all = self.map.mp_obs_kf[mp]
+            fixed = np.unique(obs_kf_all[obs_kf_all >= 0])
+            fixed = [int(x) for x in fixed if int(x) not in local_set][: ocfg.local_ba_max_fixed]
+            # keep KF0 fixed if present in local (gauge freedom; ref fixes kf id<=1...
+            # Optimizer.cc:579: setFixed(pKFi->mnId==0))
+            cams = (local + fixed)[:C]
+            cams_arr = np.asarray(cams, np.int64)
+            cam_free = np.array([(kf in local_set) and kf != 0 for kf in cams], bool)
+            if self.monocular and len(fixed) == 0:
+                # monocular gauge: with a single fixed camera the reduced system
+                # has an exact scale null-space (scaling about its center leaves
+                # every residual unchanged) and the near-GN solve random-walks
+                # along it, collapsing the map. Pin the oldest other camera too.
+                frees = np.nonzero(cam_free)[0]
+                if len(frees):
+                    cam_free[frees[np.argmin(cams_arr[frees])]] = False
 
-        cam_free = np.zeros(C, bool)
-        for i, kf in enumerate(cams):
-            cam_free[i] = (kf in local_set) and kf != 0
-        if self.monocular and len(fixed) == 0:
-            # monocular gauge: with a single fixed camera the reduced system
-            # has an exact scale null-space (scaling about its center leaves
-            # every residual unchanged) and the near-GN solve random-walks
-            # along it, collapsing the map. Pin the oldest other camera too.
-            frees = [i for i, kf in enumerate(cams) if cam_free[i]]
-            if frees:
-                oldest = min(frees, key=lambda i: cams[i])
-                cam_free[oldest] = False
+            use_cg = ocfg.use_cg_local_ba
+            prob, obs_kf, obs_fe, obs_mp = assemble_ba_problem(
+                self.map, cams_arr, cam_free, mp,
+                C_pad=C, P_pad=P, O_pad=O,
+                Q_pad=None if use_cg else Q,
+                obs_per_point_cap=None if use_cg else Q,
+            )
 
-        Rb = np.tile(np.eye(3, dtype=np.float32), (C, 1, 1))
-        tb = np.zeros((C, 3), np.float32)
-        for i, kf in enumerate(cams):
-            Rb[i] = self.map.kf_R[kf]
-            tb[i] = self.map.kf_t[kf]
-
-        mp_index = {int(m): i for i, m in enumerate(mp)}
-        xw = np.zeros((P, 3), np.float32)
-        xw[: len(mp)] = self.map.mp_pos[mp]
-
-        # observations
-        obs_cam = np.zeros(O, np.int32)
-        obs_pt = np.zeros(O, np.int32)
-        obs_uvr = np.full((O, 3), -1.0, np.float32)
-        obs_is2 = np.zeros(O, np.float32)
-        obs_valid = np.zeros(O, bool)
-        pt_obs = np.full((P, Q), -1, np.int32)
-        obs_src: List = [None] * O  # (kf, feat) for writeback
-        sigma2 = self.map.scale_factors ** 2
-
-        o = 0
-        for pi, m in enumerate(mp):
-            n = int(self.map.mp_obs_n[m])
-            cnt = 0
-            for j in range(n):
-                kf = int(self.map.mp_obs_kf[m, j])
-                if kf not in cam_index or cam_index[kf] >= C:
-                    continue
-                if o >= O or cnt >= Q:
-                    break
-                f = int(self.map.mp_obs_feat[m, j])
-                ci = cam_index[kf]
-                obs_cam[o] = ci
-                obs_pt[o] = pi
-                u, v = self.map.kf_xy[kf, f]
-                ur = self.map.kf_ur[kf, f]
-                obs_uvr[o] = [u, v, ur]
-                oct_ = int(self.map.kf_octave[kf, f])
-                obs_is2[o] = 1.0 / sigma2[min(oct_, len(sigma2) - 1)]
-                obs_valid[o] = True
-                pt_obs[pi, cnt] = o
-                obs_src[o] = (kf, f, int(m))
-                cnt += 1
-                o += 1
-            if o >= O:
-                break
-
-        prob = BAProblem(
-            R=jnp.asarray(Rb), t=jnp.asarray(tb), xw=jnp.asarray(xw),
-            obs_cam=jnp.asarray(obs_cam), obs_pt=jnp.asarray(obs_pt),
-            obs_uvr=jnp.asarray(obs_uvr),
-            obs_inv_sigma2=jnp.asarray(np.maximum(obs_is2, 1e-6)),
-            obs_valid=jnp.asarray(obs_valid),
-            pt_obs=jnp.asarray(pt_obs),
-            cam_free=jnp.asarray(cam_free),
-        )
-        Rn, tn, xwn, inlier = self._ba_fn(self.cam, prob)
+        # device solve — outside the map lock so tracking never stalls on it
+        if self.async_mode and self.cfg.optim.use_cg_local_ba:
+            out = self._solve_ba_abortable(prob)
+            if out is None:
+                return  # aborted by a newly inserted keyframe
+            Rn, tn, xwn, inlier = out
+        else:
+            Rn, tn, xwn, inlier = self._ba_fn(self.cam, prob)
         Rn, tn, xwn, inlier = map(np.asarray, (Rn, tn, xwn, inlier))
 
-        # write back optimized poses/points
-        for i, kf in enumerate(cams):
-            if cam_free[i]:
-                self.map.kf_R[kf] = Rn[i]
-                self.map.kf_t[kf] = tn[i]
-        self.map.mp_pos[mp] = xwn[: len(mp)]
+        with self.map.lock:
+            # write back optimized poses/points, skipping anything erased
+            # while the solve was in flight
+            nc = len(cams)
+            wr = cam_free & self.map.kf_valid[cams_arr]
+            self.map.kf_R[cams_arr[wr]] = Rn[:nc][wr]
+            self.map.kf_t[cams_arr[wr]] = tn[:nc][wr]
+            alive = self.map.mp_valid[mp]
+            self.map.mp_pos[mp[alive]] = xwn[: len(mp)][alive]
 
-        # erase outlier observations (Optimizer.cc:714-760)
-        bad = np.nonzero(obs_valid & ~inlier)[0]
-        for o_i in bad:
-            kf, f, m = obs_src[o_i]
-            if self.map.kf_mp[kf, f] == m:
-                self.map.kf_mp[kf, f] = -1
-                self.map._remove_observation(m, kf)
+            # erase outlier observations (Optimizer.cc:714-760)
+            bad = np.nonzero(np.asarray(prob.obs_valid) & ~inlier)[0]
+            for o_i in bad:
+                kf, f, m = int(obs_kf[o_i]), int(obs_fe[o_i]), int(obs_mp[o_i])
+                if self.map.kf_mp[kf, f] == m:
+                    self.map.kf_mp[kf, f] = -1
+                    self.map._remove_observation(m, kf)
+
+    def _solve_ba_abortable(self, prob):
+        """Host-stepped two-phase LM with an abort check between iterations
+        (the g2o forceStop polled via mbAbortBA, Optimizer.cc:519-520).
+        Returns None when aborted before any useful progress."""
+        from ..optim.ba_cg import make_classify, make_gba_iteration
+
+        ocfg = self.cfg.optim
+        step = make_gba_iteration(ocfg)
+        classify = make_classify(ocfg)
+        R, t, xw = prob.R, prob.t, prob.xw
+        lam = jnp.float32(ocfg.lm_lambda_init)
+        active = prob.obs_valid.astype(jnp.float32)
+        done = 0
+        for _ in range(ocfg.local_ba_iters1):
+            if self.abort_ba:
+                break
+            R, t, xw, lam, _ = step(self.cam, prob, R, t, xw, lam, active, jnp.bool_(True))
+            done += 1
+        if done == 0:
+            return None
+        inlier = classify(self.cam, prob, R, t, xw)
+        if not self.abort_ba:
+            active = inlier.astype(jnp.float32)
+            for _ in range(ocfg.local_ba_iters2):
+                if self.abort_ba:
+                    break
+                R, t, xw, lam, _ = step(self.cam, prob, R, t, xw, lam, active, jnp.bool_(False))
+            inlier = classify(self.cam, prob, R, t, xw)
+        return R, t, xw, inlier
 
     # ------------------------------------------------------------------
     def _cull_keyframes(self, k: int):

@@ -27,7 +27,6 @@ import jax.numpy as jnp
 from ..config import SlamConfig
 from ..geometry.camera import PinholeCamera
 from ..mapping.map_store import MapStore
-from ..optim.ba import BAProblem, make_global_ba
 from ..optim.sim3_opt import PoseGraph, make_essential_solver, make_sim3_refine
 from ..place.kf_database import KeyFrameDatabase
 from ..place.vocab import make_transform_fn
@@ -78,7 +77,6 @@ class LoopClosing:
         self._sim3_refine = make_sim3_refine(fix_scale)
         self._essential = make_essential_solver(fix_scale)
         self._fuse_fn = make_fuse_fn(cfg)
-        self._global_ba = make_global_ba(cfg.optim)
         self._match_fn = jax.jit(match_bruteforce_desc)
         self._key = jax.random.PRNGKey(cfg.orb.n_features)
 
@@ -493,16 +491,44 @@ class LoopClosing:
         self.map.update_point_stats(mp_ids)
 
     # ------------------------------------------------------------------
-    def _run_global_ba(self):
-        """Full BA over all keyframes/points, bounded by the jit capacities
-        (RunGlobalBundleAdjustment; abort/merge semantics are trivial in
-        synchronous mode — poses/points are written back directly)."""
-        ocfg = self.cfg.optim
-        C = ocfg.local_ba_max_cams + ocfg.local_ba_max_fixed
+    def _run_global_ba(self, abort_flag=None):
+        """Full bundle adjustment over ALL keyframes and map points
+        (RunGlobalBundleAdjustment, LoopClosing.cc:674-779 ->
+        Optimizer::BundleAdjustment, Optimizer.cc:51-240): KF0 fixed for
+        gauge, every other camera and every point free. Runs the matrix-free
+        Schur-PCG LM one host-driven iteration at a time so `abort_flag`
+        (mbStopGBA) is honored between iterations."""
+        from ..optim.assemble import assemble_ba_problem, global_problem_shapes
+        from ..optim.ba_cg import make_gba_iteration
+
         kfs = np.nonzero(self.map.kf_valid)[0]
-        if len(kfs) < 3 or len(kfs) > C:
-            return  # larger maps defer to the next round's sharded global BA
-        if self.local_mapper is None:
+        mp = np.nonzero(self.map.mp_valid)[0]
+        mp = mp[self.map.mp_obs_n[mp] > 0]
+        if len(kfs) < 3 or len(mp) < 32:
             return
-        # reuse LocalMapping's assembler with every camera in the window
-        self.local_mapper._local_ba(int(kfs[-1]))
+        n_obs = int(np.count_nonzero(self.map.mp_obs_kf[mp] >= 0))
+        C_pad, P_pad, O_pad = global_problem_shapes(len(kfs), len(mp), n_obs)
+        cam_free = kfs != 0  # gauge: first KF pinned (Optimizer.cc:104)
+        prob, _, _, _ = assemble_ba_problem(
+            self.map, kfs, cam_free, mp, C_pad, P_pad, O_pad
+        )
+        step = make_gba_iteration(self.cfg.optim)
+        R, t, xw = prob.R, prob.t, prob.xw
+        lam = jnp.float32(self.cfg.optim.lm_lambda_init)
+        active = prob.obs_valid.astype(jnp.float32)
+        self.gba_iter_times: List[float] = []
+        import time as _time
+        for _ in range(self.cfg.optim.global_ba_iters):
+            if abort_flag is not None and abort_flag():
+                return  # aborted: discard (the next GBA restarts fresh)
+            t0 = _time.perf_counter()
+            R, t, xw, lam, _cost = step(self.cam, prob, R, t, xw, lam, active,
+                                        jnp.bool_(True))
+            jax.block_until_ready(R)
+            self.gba_iter_times.append(_time.perf_counter() - t0)
+
+        R, t, xw = map(np.asarray, (R, t, xw))
+        self.map.kf_R[kfs[cam_free]] = R[: len(kfs)][cam_free]
+        self.map.kf_t[kfs[cam_free]] = t[: len(kfs)][cam_free]
+        self.map.mp_pos[mp] = xw[: len(mp)]
+        self.map.update_point_stats(mp)

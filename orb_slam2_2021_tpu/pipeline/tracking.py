@@ -470,7 +470,7 @@ class Tracking:
         obs_kf = obs_kf[obs_kf >= 0]
         if len(obs_kf) == 0:
             return False
-        votes = np.bincount(obs_kf, minlength=self.cfg.max_keyframes)
+        votes = np.bincount(obs_kf, minlength=self.map.kf_capacity)
         voters = np.nonzero(votes)[0]
         order = voters[np.argsort(-votes[voters], kind="stable")]
         local_kfs = list(order[: self.cfg.tracking.local_window_kf // 2])
