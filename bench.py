@@ -1,74 +1,152 @@
-"""Benchmark: stereo tracking throughput on the real chip.
+"""Benchmark: the FULL system end-to-end on the real chip, plus the
+front-end microloop.
 
-Runs the full per-frame hot path (stereo frame assembly: dual ORB pyramid
-extraction + stereo matching; plus motion tracking with two LM pose solves on
-a synthetic map) at KITTI stereo resolution and prints ONE JSON line.
+Primary metric is end-to-end stereo SLAM throughput: System driven in async
+mode (tracking lane + mapping worker + loop closing + grid mapping + global
+BA) over a KITTI-resolution synthetic out-and-back sequence with ground
+truth — so the number pays for keyframe insertion, triangulation, fusion,
+local BA, loop correction and GBA, not just the per-frame extractor
+(the honesty rule of /root/reference/Examples/Stereo/arducam_images.cpp:179-187:
+measure what actually ran). ATE and local-BA ms/iter are reported alongside.
 
 vs_baseline is frames/s against the reference's real-time pacing target of
 10 fps (/root/reference/Examples/Stereo/arducam.yaml Camera.fps; the
-reference publishes no other throughput numbers, BASELINE.md).
+reference publishes no other throughput numbers — BASELINE.md; the reference
+binary itself is not buildable in this image: no OpenCV/Pangolin/PCL/ROS).
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
+WARMUP_FRAMES = 12   # compile + cache warm (first KFs trigger BA compiles)
+N_OUT = 55           # out-and-back -> 110 frames total
+SMALL = os.environ.get("BENCH_SMALL", "") == "1"  # CPU smoke mode
 
-def main():
-    import jax
-    import jax.numpy as jnp
 
-    from orb_slam2_2021_tpu.config import kitti_stereo_config
+def _frontend_fps(jax, jnp, cfg):
+    """Front-end microloop: stereo frame assembly + motion tracking."""
     from orb_slam2_2021_tpu.frontend.frame import make_stereo_frame_fn
     from orb_slam2_2021_tpu.pipeline.track_steps import make_motion_track_fn
     from orb_slam2_2021_tpu.geometry.camera import PinholeCamera
 
-    cfg = kitti_stereo_config()
     cam = PinholeCamera.create(cfg.fx, cfg.fy, cfg.cx, cfg.cy, cfg.bf, cfg.width, cfg.height)
     frame_fn = make_stereo_frame_fn(cfg)
     motion_fn = make_motion_track_fn(cfg)
 
     rng = np.random.default_rng(0)
-    # textured random images (dense FAST corners like real imagery)
     left = jnp.asarray(rng.uniform(0, 255, (cfg.height, cfg.width)), jnp.float32)
     right = jnp.asarray(np.roll(np.asarray(left), -8, axis=1))
-
     n = cfg.orb.n_features
     last_xw = jnp.asarray(rng.uniform(-10, 10, (n, 3)), jnp.float32) + jnp.asarray([0, 0, 15.0])
     last_desc = jnp.asarray(rng.integers(0, 2**32, (n, 8), dtype=np.uint32))
     last_oct = jnp.zeros(n, jnp.int32)
     last_ang = jnp.zeros(n, jnp.float32)
     last_valid = jnp.ones(n, bool)
-    R0 = jnp.eye(3)
-    t0 = jnp.zeros(3)
+    R0, t0 = jnp.eye(3), jnp.zeros(3)
 
     def step(l, r):
         frame = frame_fn(l, r)
-        out = motion_fn(
+        return motion_fn(
             cam, frame.kp, frame.u_right, R0, t0,
-            last_xw, last_desc, last_oct, last_ang, last_valid,
-            jnp.float32(7.0),
+            last_xw, last_desc, last_oct, last_ang, last_valid, jnp.float32(7.0),
         )
-        return frame, out
 
-    # warmup/compile
-    frame, out = step(left, right)
+    out = step(left, right)
     jax.block_until_ready(out[0])
-
     iters = 30
     t_start = time.perf_counter()
     for _ in range(iters):
-        frame, out = step(left, right)
+        out = step(left, right)
     jax.block_until_ready(out[0])
-    dt = (time.perf_counter() - t_start) / iters
+    return iters / (time.perf_counter() - t_start)
 
-    fps = 1.0 / dt
+
+def _loop_trajectory(n_out, step):
+    poses = []
+    pos = np.zeros(3, np.float32)
+    for _ in range(n_out):
+        poses.append((np.eye(3, dtype=np.float32), pos.copy()))
+        pos = pos + np.array([step, 0, 0], np.float32)
+    for _ in range(n_out):
+        pos = pos - np.array([step, 0, 0], np.float32)
+        poses.append((np.eye(3, dtype=np.float32), pos.copy()))
+    return poses
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
+    import jax.numpy as jnp
+
+    from orb_slam2_2021_tpu.config import kitti_stereo_config
+    from orb_slam2_2021_tpu.io.synthetic import SyntheticStereoWorld
+    from orb_slam2_2021_tpu.io.trajectory import ate_rmse
+    from orb_slam2_2021_tpu.pipeline.system import System
+
+    if SMALL:
+        from orb_slam2_2021_tpu.config import synthetic_config
+
+        cfg = synthetic_config(width=320, height=240)
+        n_out, step_m = 20, 0.14
+    else:
+        cfg = kitti_stereo_config()
+        n_out, step_m = N_OUT, 0.35
+    frontend_fps = _frontend_fps(jax, jnp, cfg)
+
+    # ---- end-to-end system drive (KITTI resolution, loop trajectory) ----
+    world = SyntheticStereoWorld(cfg, seed=7)
+    gt = _loop_trajectory(n_out, step_m)
+    frames = [world.render(R, t) for (R, t) in gt]  # pre-rendered: host
+    # rasterization is dataset I/O, not engine work
+
+    sys_ = System(cfg, async_mode=True)
+    for i in range(WARMUP_FRAMES):
+        sys_.track_stereo(frames[i][0], frames[i][1], timestamp=i * 0.1)
+    t_start = time.perf_counter()
+    for i in range(WARMUP_FRAMES, len(frames)):
+        sys_.track_stereo(frames[i][0], frames[i][1], timestamp=i * 0.1)
+    e2e_dt = time.perf_counter() - t_start
+    e2e_fps = (len(frames) - WARMUP_FRAMES) / e2e_dt
+    sys_.shutdown()
+
+    gt_mats = []
+    for R_wc, t_wc in gt:
+        T = np.eye(4)
+        T[:3, :3] = R_wc
+        T[:3, 3] = t_wc
+        gt_mats.append(T)
+    est = sys_.trajectory_kitti()
+    ate = float(ate_rmse(est, gt_mats[: len(est)]))
+    traj_len = float(np.linalg.norm(np.diff([T[:3, 3] for T in gt_mats], axis=0), axis=1).sum())
+
+    ba = sys_.local_mapper.ba_solve_times if sys_.local_mapper else []
+    ba_ms_iter = (
+        1e3 * sum(d for d, _ in ba[1:]) / max(sum(n for _, n in ba[1:]), 1)
+        if len(ba) > 1 else -1.0
+    )
+    gba = getattr(sys_.loop_closer, "gba_iter_times", []) if sys_.loop_closer else []
+    gba_ms_iter = 1e3 * float(np.mean(gba[1:])) if len(gba) > 1 else -1.0
+
     print(json.dumps({
-        "metric": "stereo_tracking_fps",
-        "value": round(fps, 2),
+        "metric": "e2e_stereo_slam_fps",
+        "value": round(e2e_fps, 2),
         "unit": "frames/s",
-        "vs_baseline": round(fps / 10.0, 2),
+        "vs_baseline": round(e2e_fps / 10.0, 2),
+        "extra": {
+            "frontend_fps": round(frontend_fps, 2),
+            "ate_rmse_m": round(ate, 4),
+            "trajectory_len_m": round(traj_len, 2),
+            "local_ba_ms_per_iter": round(ba_ms_iter, 3),
+            "gba_ms_per_iter": round(gba_ms_iter, 3),
+            "n_keyframes": int(sys_.map.n_kf),
+            "n_map_points": int(sys_.map.mp_valid.sum()),
+            "n_loops": int(sys_.loop_closer.n_loops) if sys_.loop_closer else 0,
+            "median_frame_ms": round(1e3 * float(np.median(sys_.frame_times[WARMUP_FRAMES:])), 2),
+        },
     }))
 
 

@@ -256,6 +256,14 @@ class MapStore:
         self.kf_valid[k] = False
         self.n_kf -= 1
 
+    def set_erase(self, k: int):
+        """KeyFrame::SetErase (KeyFrame.cc:446-467): lift loop-detection
+        protection and run a deferred cull."""
+        self.kf_not_erase[k] = False
+        if self.kf_to_be_erased[k]:
+            self.kf_to_be_erased[k] = False
+            self.erase_keyframe(k)
+
     def _set_parent(self, child: int, parent: int):
         old = int(self.parent[child])
         if old >= 0:

@@ -72,23 +72,23 @@ def shard_ba_problem(prob: BAProblem, n_dev: int) -> BAProblem:
     n_valid = np.zeros(n_dev * O_loc, bool)
     n_pt_obs = np.full((P_, Q), -1, np.int32)
 
-    fill = np.zeros(n_dev, np.int32)
+    # vectorized shard packing: stable-sort valid obs by owning shard, then
+    # rank within each shard gives the local slot
+    vi = np.nonzero(obs_valid)[0]
+    order = vi[np.argsort(owner[vi], kind="stable")]
+    own_sorted = owner[order]
+    shard_start = np.searchsorted(own_sorted, np.arange(n_dev))
+    rank = np.arange(len(order)) - shard_start[own_sorted]
+    pos = own_sorted * O_loc + rank
     remap = np.full(len(obs_cam), -1, np.int64)
-    for o in np.nonzero(obs_valid)[0]:
-        d = int(owner[o])
-        pos = d * O_loc + int(fill[d])
-        fill[d] += 1
-        remap[o] = pos
-        n_cam[pos] = obs_cam[o]
-        n_pt[pos] = obs_pt[o]
-        n_uvr[pos] = obs_uvr[o]
-        n_is2[pos] = obs_is2[o]
-        n_valid[pos] = True
-    for p in range(P_):
-        for qi in range(Q):
-            o = pt_obs[p, qi]
-            if o >= 0 and remap[o] >= 0:
-                n_pt_obs[p, qi] = remap[o]
+    remap[order] = pos
+    n_cam[pos] = obs_cam[order]
+    n_pt[pos] = obs_pt[order]
+    n_uvr[pos] = obs_uvr[order]
+    n_is2[pos] = obs_is2[order]
+    n_valid[pos] = True
+    po_ok = pt_obs >= 0
+    n_pt_obs[po_ok] = remap[pt_obs[po_ok]]
 
     return prob._replace(
         obs_cam=jnp.asarray(n_cam), obs_pt=jnp.asarray(n_pt),
@@ -130,6 +130,56 @@ def make_dist_ba(cfg: OptimConfig, mesh: Mesh, iters1=None, iters2=None):
         mesh=mesh,
         in_specs=(P(), pspec),
         out_specs=(P(), P(), P(AXIS), P(AXIS)),
+        check_rep=False,
+    )
+    return jax.jit(fn)
+
+
+def make_dist_gba_iteration(cfg: OptimConfig, mesh: Mesh, cam):
+    """One host-steppable global-BA LM iteration sharded over the mesh axis
+    'map' (points + observations sharded, cameras replicated, camera-side
+    reductions psum'd over ICI). The host drives iterations so the abort /
+    staleness protocol (mbStopGBA, LoopClosing.cc:604-608) works unchanged in
+    the multi-chip configuration. `cam` (python-float PinholeCamera) is
+    closed over. Call with a problem prepared by shard_ba_problem."""
+    from jax.experimental.shard_map import shard_map
+
+    from ..optim.ba import _residual_jacobians, _total_cost
+    from ..optim.ba_cg import _cg_lm_step
+
+    def local_step(prob: BAProblem, R, t, xw, lam, active, use_huber):
+        d = jax.lax.axis_index(AXIS)
+        P_loc = prob.xw.shape[0]
+        prob_local = prob._replace(obs_pt=prob.obs_pt - d * P_loc)
+        Rn, tn, xwn, chi2, behind, delta2 = _cg_lm_step(
+            cam, prob_local, R, t, xw, active, lam, use_huber, cfg,
+            cfg.cg_iters, AXIS,
+        )
+        cost_old = jax.lax.psum(
+            _total_cost(chi2, active, delta2, use_huber), AXIS
+        )
+        _, _, _, chi2n, _ = _residual_jacobians(cam, prob_local, Rn, tn, xwn)
+        cost_new = jax.lax.psum(
+            _total_cost(chi2n, active, delta2, use_huber), AXIS
+        )
+        improved = cost_new < cost_old
+        R = jnp.where(improved, Rn, R)
+        t = jnp.where(improved, tn, t)
+        xw = jnp.where(improved, xwn, xw)
+        lam = jnp.where(improved, lam * 0.5, lam * 4.0)
+        return R, t, xw, lam, cost_new
+
+    pspec = BAProblem(
+        R=P(), t=P(), xw=P(AXIS),
+        obs_cam=P(AXIS), obs_pt=P(AXIS), obs_uvr=P(AXIS),
+        obs_inv_sigma2=P(AXIS), obs_valid=P(AXIS),
+        pt_obs=P(AXIS), cam_free=P(),
+    )
+    fn = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(pspec, P(), P(), P(AXIS), P(), P(AXIS), P()),
+        out_specs=(P(), P(), P(AXIS), P(), P()),
         check_rep=False,
     )
     return jax.jit(fn)

@@ -57,6 +57,7 @@ class LocalMapping:
             self._ba_fn = make_local_ba(cfg.optim)
         self.abort_ba = False  # mbAbortBA (LocalMapping.cc:123)
         self.monocular = False  # set by System; changes culling thresholds
+        self.ba_solve_times: List[tuple] = []  # (seconds, lm_iterations)
         # worker-thread state (async mode)
         self._cv = threading.Condition()
         self._finish_requested = False
@@ -346,6 +347,8 @@ class LocalMapping:
             )
 
         # device solve — outside the map lock so tracking never stalls on it
+        import time as _time
+        t0 = _time.perf_counter()
         if self.async_mode and self.cfg.optim.use_cg_local_ba:
             out = self._solve_ba_abortable(prob)
             if out is None:
@@ -354,6 +357,9 @@ class LocalMapping:
         else:
             Rn, tn, xwn, inlier = self._ba_fn(self.cam, prob)
         Rn, tn, xwn, inlier = map(np.asarray, (Rn, tn, xwn, inlier))
+        self.ba_solve_times.append(
+            (_time.perf_counter() - t0, ocfg.local_ba_iters1 + ocfg.local_ba_iters2)
+        )
 
         with self.map.lock:
             # write back optimized poses/points, skipping anything erased

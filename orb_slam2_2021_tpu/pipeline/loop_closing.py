@@ -56,6 +56,13 @@ def _sim3_mul(a, b):
     return sa * sb, Ra @ Rb, sa * (Ra @ tb) + ta
 
 
+def _pose_mat(R, t):
+    T = np.eye(4, dtype=np.float64)
+    T[:3, :3] = R
+    T[:3, 3] = t
+    return T
+
+
 class LoopClosing:
     def __init__(self, cfg: SlamConfig, map_store: MapStore, kfdb: KeyFrameDatabase,
                  fix_scale: bool = True):
@@ -72,6 +79,18 @@ class LoopClosing:
         self.loop_closed_flag = False  # consumed by GridMapping (GridMapping.cpp:43)
         self.n_loops = 0
         self.local_mapper = None
+        # background global-BA state (LoopClosing.h mbRunningGBA/mbStopGBA/
+        # mnFullBAIdx; LoopClosing.cc:604-608, 674-779)
+        self.async_mode = False
+        self.running_gba = False
+        self.stop_gba = False
+        self.full_ba_idx = 0
+        self.gba_thread = None
+        # optional device mesh: global BA shards points/observations over the
+        # 'map' axis and psums the reduced camera system over ICI
+        # (SURVEY.md §5 distributed-backend plan)
+        self.mesh = None
+        self._dist_step = None
 
         self._sim3_ransac = make_sim3_ransac(fix_scale, 128)
         self._sim3_refine = make_sim3_refine(fix_scale)
@@ -96,14 +115,37 @@ class LoopClosing:
     def _process(self, k: int, words):
         if words is not None:
             self.kfdb.add_bow(k, words)
-        if not self.map.kf_valid[k]:
-            return
-        candidates = self._detect_loop(k)
+        with self.map.lock:
+            if not self.map.kf_valid[k]:
+                return
+            # protect the current KF from culling while its detection is in
+            # flight (SetNotErase, LoopClosing.cc:121, 392-417)
+            self.map.kf_not_erase[k] = True
+            candidates = self._detect_loop(k)
+        result = None
         if candidates:
-            result = self._compute_sim3(k, candidates)
-            if result is not None:
-                loop_kf, scw, matched_feat_mp = result
+            with self.map.lock:
+                for c in candidates:
+                    self.map.kf_not_erase[c] = True
+                result = self._compute_sim3(k, candidates)
+        if result is not None:
+            loop_kf, scw, matched_feat_mp = result
+            # abort any in-flight global BA OUTSIDE the map lock (it may be
+            # blocked acquiring it for write-back); staleness index invalidates
+            # its result (mbStopGBA + mnFullBAIdx, LoopClosing.cc:427-448)
+            self.full_ba_idx += 1
+            if self.gba_thread is not None and self.gba_thread.is_alive():
+                self.stop_gba = True
+                self.gba_thread.join()
+            self.stop_gba = False
+            with self.map.lock:
                 self._correct_loop(k, loop_kf, scw, matched_feat_mp)
+        with self.map.lock:
+            # release erase protection (SetErase runs deferred culls)
+            for c in set(candidates) | {k}:
+                if result is not None and c in (k, result[0]):
+                    continue  # the matched pair stays protected (loop edges)
+                self.map.set_erase(int(c))
         # the KF becomes a retrieval candidate only now (DetectLoop end,
         # LoopClosing.cc:237-243)
         if k in self.kfdb.bow:
@@ -274,7 +316,8 @@ class LoopClosing:
 
     # ------------------------------------------------------------------
     def _correct_loop(self, k: int, loop_kf: int, scw, matched_feat_mp: np.ndarray):
-        """CorrectLoop (:421-614)."""
+        """CorrectLoop (:421-614). Caller holds the map lock and has already
+        aborted any in-flight global BA."""
         if self.local_mapper is not None:
             self.local_mapper.process_pending()
 
@@ -353,8 +396,18 @@ class LoopClosing:
         self.loop_edges.setdefault(loop_kf, set()).add(k)
         self._optimize_essential_graph(k, loop_kf, corrected, old_poses, moved_by)
 
-        # full global BA (RunGlobalBundleAdjustment, :674-779)
-        self._run_global_ba()
+        # full global BA (RunGlobalBundleAdjustment, :674-779): background
+        # thread in async mode (LoopClosing.cc:604-608), inline otherwise
+        if self.async_mode:
+            import threading as _threading
+
+            idx = self.full_ba_idx
+            self.gba_thread = _threading.Thread(
+                target=self._gba_entry, args=(idx,), daemon=True
+            )
+            self.gba_thread.start()
+        else:
+            self._run_global_ba(idx=self.full_ba_idx)
 
         self.last_loop_kf = k
         self.loop_closed_flag = True
@@ -491,36 +544,68 @@ class LoopClosing:
         self.map.update_point_stats(mp_ids)
 
     # ------------------------------------------------------------------
-    def _run_global_ba(self, abort_flag=None):
+    def _gba_entry(self, idx: int):
+        """Ephemeral GBA thread body (LoopClosing::RunGlobalBundleAdjustment,
+        spawned at LoopClosing.cc:604-608)."""
+        self.running_gba = True
+        try:
+            self._run_global_ba(idx=idx)
+        finally:
+            self.running_gba = False
+
+    def _run_global_ba(self, idx: int):
         """Full bundle adjustment over ALL keyframes and map points
         (RunGlobalBundleAdjustment, LoopClosing.cc:674-779 ->
         Optimizer::BundleAdjustment, Optimizer.cc:51-240): KF0 fixed for
-        gauge, every other camera and every point free. Runs the matrix-free
-        Schur-PCG LM one host-driven iteration at a time so `abort_flag`
-        (mbStopGBA) is honored between iterations."""
+        gauge, every other camera and every point free. The matrix-free
+        Schur-PCG LM runs one host-driven iteration at a time so mbStopGBA
+        (self.stop_gba) aborts between iterations; the write-back is dropped
+        when a newer loop superseded this run (mnFullBAIdx), and keyframes /
+        points created while the solve was in flight are corrected through
+        the spanning tree (LoopClosing.cc:706-766)."""
         from ..optim.assemble import assemble_ba_problem, global_problem_shapes
         from ..optim.ba_cg import make_gba_iteration
 
-        kfs = np.nonzero(self.map.kf_valid)[0]
-        mp = np.nonzero(self.map.mp_valid)[0]
-        mp = mp[self.map.mp_obs_n[mp] > 0]
-        if len(kfs) < 3 or len(mp) < 32:
-            return
-        n_obs = int(np.count_nonzero(self.map.mp_obs_kf[mp] >= 0))
-        C_pad, P_pad, O_pad = global_problem_shapes(len(kfs), len(mp), n_obs)
-        cam_free = kfs != 0  # gauge: first KF pinned (Optimizer.cc:104)
-        prob, _, _, _ = assemble_ba_problem(
-            self.map, kfs, cam_free, mp, C_pad, P_pad, O_pad
-        )
-        step = make_gba_iteration(self.cfg.optim)
+        with self.map.lock:
+            kfs = np.nonzero(self.map.kf_valid)[0]
+            mp = np.nonzero(self.map.mp_valid)[0]
+            mp = mp[self.map.mp_obs_n[mp] > 0]
+            if len(kfs) < 3 or len(mp) < 32:
+                return
+            n_obs = int(np.count_nonzero(self.map.mp_obs_kf[mp] >= 0))
+            C_pad, P_pad, O_pad = global_problem_shapes(len(kfs), len(mp), n_obs)
+            if self.mesh is not None:
+                n_dev = self.mesh.devices.size
+                P_pad = ((P_pad + n_dev - 1) // n_dev) * n_dev
+            cam_free = kfs != 0  # gauge: first KF pinned (Optimizer.cc:104)
+            prob, _, _, _ = assemble_ba_problem(
+                self.map, kfs, cam_free, mp, C_pad, P_pad, O_pad
+            )
+
+        if self.mesh is not None:
+            # sharded path: points/obs over the 'map' axis; camera updates
+            # computed redundantly per device (parallel/dist_ba.py)
+            from ..parallel.dist_ba import make_dist_gba_iteration, shard_ba_problem
+
+            n_dev = self.mesh.devices.size
+            prob = shard_ba_problem(prob, n_dev)
+            if self._dist_step is None:
+                self._dist_step = make_dist_gba_iteration(
+                    self.cfg.optim, self.mesh, self.cam
+                )
+            step = lambda cam, prob, R, t, xw, lam, active, hub: self._dist_step(
+                prob, R, t, xw, lam, active, hub
+            )
+        else:
+            step = make_gba_iteration(self.cfg.optim)
         R, t, xw = prob.R, prob.t, prob.xw
         lam = jnp.float32(self.cfg.optim.lm_lambda_init)
         active = prob.obs_valid.astype(jnp.float32)
         self.gba_iter_times: List[float] = []
         import time as _time
         for _ in range(self.cfg.optim.global_ba_iters):
-            if abort_flag is not None and abort_flag():
-                return  # aborted: discard (the next GBA restarts fresh)
+            if self.stop_gba:
+                return  # aborted: discard (the superseding loop re-runs GBA)
             t0 = _time.perf_counter()
             R, t, xw, lam, _cost = step(self.cam, prob, R, t, xw, lam, active,
                                         jnp.bool_(True))
@@ -528,7 +613,60 @@ class LoopClosing:
             self.gba_iter_times.append(_time.perf_counter() - t0)
 
         R, t, xw = map(np.asarray, (R, t, xw))
-        self.map.kf_R[kfs[cam_free]] = R[: len(kfs)][cam_free]
-        self.map.kf_t[kfs[cam_free]] = t[: len(kfs)][cam_free]
-        self.map.mp_pos[mp] = xw[: len(mp)]
-        self.map.update_point_stats(mp)
+        with self.map.lock:
+            if idx != self.full_ba_idx or self.stop_gba:
+                return  # stale: a newer loop correction owns the map now
+            self._gba_writeback(kfs, cam_free, mp, R, t, xw)
+
+    def _gba_writeback(self, kfs, cam_free, mp, Rn, tn, xwn):
+        """Merge GBA results into the (possibly advanced) map: optimized KFs
+        and points directly; KFs created during the solve via spanning-tree
+        propagation (Tchild_new = Tchild * Tparent^-1 * Tparent_new); their
+        points via their reference KF (LoopClosing.cc:706-766 mTcwBefGBA /
+        mTcwGBA semantics). Caller holds the map lock."""
+        m = self.map
+        nk = len(kfs)
+        in_prob_kf = np.zeros(m.kf_capacity, bool)
+        in_prob_kf[kfs] = True
+        bef_R = m.kf_R.copy()
+        bef_t = m.kf_t.copy()
+
+        wr = m.kf_valid[kfs] & cam_free
+        m.kf_R[kfs[wr]] = Rn[:nk][wr]
+        m.kf_t[kfs[wr]] = tn[:nk][wr]
+
+        # spanning-tree propagation to keyframes not in the problem
+        from collections import deque as _dq
+        todo = _dq(int(x) for x in kfs)
+        seen = set(int(x) for x in kfs)
+        while todo:
+            p = todo.popleft()
+            for c in m.children.get(p, ()):
+                if c in seen:
+                    continue
+                seen.add(c)
+                if m.kf_valid[c] and not in_prob_kf[c]:
+                    T_c = _pose_mat(bef_R[c], bef_t[c])
+                    T_p = _pose_mat(bef_R[p], bef_t[p])
+                    T_pn = _pose_mat(m.kf_R[p], m.kf_t[p])
+                    T_cn = T_c @ np.linalg.inv(T_p) @ T_pn
+                    m.kf_R[c] = T_cn[:3, :3].astype(np.float32)
+                    m.kf_t[c] = T_cn[:3, 3].astype(np.float32)
+                todo.append(c)
+
+        in_prob_mp = np.zeros(m.mp_capacity, bool)
+        in_prob_mp[mp] = True
+        alive = m.mp_valid[mp]
+        m.mp_pos[mp[alive]] = xwn[: len(mp)][alive]
+        # points created during the solve: preserve their camera-frame
+        # coordinates w.r.t. their reference KF across its correction
+        others = np.nonzero(m.mp_valid & ~in_prob_mp)[0]
+        if len(others):
+            r = m.mp_obs_kf[others, 0]
+            ok = (r >= 0) & m.kf_valid[np.clip(r, 0, None)]
+            others, r = others[ok], r[ok]
+            pw = m.mp_pos[others]
+            pc = np.einsum("nij,nj->ni", bef_R[r], pw) + bef_t[r]
+            pw_new = np.einsum("nji,nj->ni", m.kf_R[r], pc - m.kf_t[r])
+            m.mp_pos[others] = pw_new.astype(np.float32)
+        m.update_point_stats(np.nonzero(m.mp_valid)[0])

@@ -35,10 +35,17 @@ class System:
         vocab_path: Optional[str] = None,
         place_rec: Optional[PlaceRecognition] = None,
         sensor: str = "stereo",
+        async_mode: bool = False,
+        mesh=None,
     ):
         """Boot the engine (System::System, System.cc:37-165): load the
         vocabulary, create the map + keyframe database, wire the pipeline
-        stages (Tracking -> LocalMapping -> LoopClosing)."""
+        stages (Tracking -> LocalMapping -> LoopClosing).
+
+        async_mode=True reproduces the reference's thread layout
+        (System.cc:129-147): tracking stays on the caller thread; local
+        mapping + loop closing run on a worker; global BA on an ephemeral
+        abortable thread. Default is synchronous (deterministic)."""
         self.cfg = cfg
         self.map = MapStore(cfg)
         if place_rec is None:
@@ -58,6 +65,9 @@ class System:
             )
             self.loop_closer.local_mapper = self.local_mapper
             self.local_mapper.loop_closer = self.loop_closer
+            # optional jax.sharding.Mesh: global BA runs landmark-sharded over
+            # its 'map' axis with ICI-psum'd camera reductions
+            self.loop_closer.mesh = mesh
         self.tracker = Tracking(cfg, self.map, self.local_mapper, self.place)
         self.tracker.sensor = sensor
         from ..gridmap.grid import GridMapper
@@ -67,6 +77,40 @@ class System:
         self.frame_times: List[float] = []
         self._frame_id = 0
 
+        self.async_mode = async_mode and self.local_mapper is not None
+        self._worker = None
+        if self.async_mode:
+            import threading
+
+            self.local_mapper.async_mode = True
+            if self.loop_closer is not None:
+                self.loop_closer.async_mode = True
+            self._worker = threading.Thread(
+                target=self.local_mapper.run_worker, daemon=True
+            )
+            self._worker.start()
+
+    def _post_track(self):
+        """Mapping/grid work after a tracked frame: inline when synchronous,
+        no-op in async mode (the worker owns it)."""
+        if self.async_mode:
+            # grid mapping still follows the map from this thread (the
+            # reference's GridMapping thread polls at 10 Hz, GridMapping.cpp:21)
+            if self.grid_mapper is not None:
+                with self.map.lock:
+                    loop_closed = bool(self.loop_closer and self.loop_closer.loop_closed_flag)
+                    if loop_closed:
+                        self.loop_closer.loop_closed_flag = False
+                    self.grid_mapper.process_new(loop_closed)
+            return
+        if self.local_mapper is not None:
+            self.local_mapper.process_pending()
+        if self.grid_mapper is not None:
+            loop_closed = bool(self.loop_closer and self.loop_closer.loop_closed_flag)
+            if loop_closed:
+                self.loop_closer.loop_closed_flag = False
+            self.grid_mapper.process_new(loop_closed)
+
     # ------------------------------------------------------------------
     def track_stereo(self, image_left, image_right, timestamp: float):
         """Per-frame stereo entry (System::TrackStereo, System.cc:167-216).
@@ -75,14 +119,9 @@ class System:
         """
         t0 = time.perf_counter()
         frame = self._frame_fn(jnp.asarray(image_left, jnp.float32), jnp.asarray(image_right, jnp.float32))
-        pose = self.tracker.track_stereo_frame(frame, self._frame_id, timestamp)
-        if self.local_mapper is not None:
-            self.local_mapper.process_pending()
-        if self.grid_mapper is not None:
-            loop_closed = bool(self.loop_closer and self.loop_closer.loop_closed_flag)
-            if loop_closed:
-                self.loop_closer.loop_closed_flag = False
-            self.grid_mapper.process_new(loop_closed)
+        with self.map.lock:
+            pose = self.tracker.track_stereo_frame(frame, self._frame_id, timestamp)
+        self._post_track()
         self.frame_times.append(time.perf_counter() - t0)
         self._frame_id += 1
         return pose
@@ -96,14 +135,9 @@ class System:
         if not hasattr(self, "_mono_fn"):
             self._mono_fn = jax.jit(_ft.partial(build_mono_frame, cfg=self.cfg))
         frame = self._mono_fn(jnp.asarray(image, jnp.float32))
-        pose = self.tracker.track_mono_frame(frame, self._frame_id, timestamp)
-        if self.local_mapper is not None:
-            self.local_mapper.process_pending()
-        if self.grid_mapper is not None:
-            loop_closed = bool(self.loop_closer and self.loop_closer.loop_closed_flag)
-            if loop_closed:
-                self.loop_closer.loop_closed_flag = False
-            self.grid_mapper.process_new(loop_closed)
+        with self.map.lock:
+            pose = self.tracker.track_mono_frame(frame, self._frame_id, timestamp)
+        self._post_track()
         self.frame_times.append(time.perf_counter() - t0)
         self._frame_id += 1
         return pose
@@ -117,11 +151,9 @@ class System:
         if not hasattr(self, "_rgbd_fn"):
             self._rgbd_fn = jax.jit(_ft.partial(build_rgbd_frame, cfg=self.cfg))
         frame = self._rgbd_fn(jnp.asarray(image, jnp.float32), jnp.asarray(depth_map, jnp.float32))
-        pose = self.tracker.track_stereo_frame(frame, self._frame_id, timestamp)
-        if self.local_mapper is not None:
-            self.local_mapper.process_pending()
-        if self.grid_mapper is not None:
-            self.grid_mapper.process_new(False)
+        with self.map.lock:
+            pose = self.tracker.track_stereo_frame(frame, self._frame_id, timestamp)
+        self._post_track()
         self.frame_times.append(time.perf_counter() - t0)
         self._frame_id += 1
         return pose
@@ -226,5 +258,17 @@ class System:
         return sys_
 
     def shutdown(self):
+        """System::Shutdown (System.cc:352-376): finish the worker, wait for
+        a running global BA, drain remaining work synchronously."""
+        if self.async_mode and self._worker is not None:
+            self.local_mapper.request_finish()
+            self._worker.join(timeout=300.0)
+            self.async_mode = False
+        if self.loop_closer is not None:
+            th = self.loop_closer.gba_thread
+            if th is not None and th.is_alive():
+                th.join(timeout=300.0)
         if self.local_mapper is not None:
             self.local_mapper.finish()
+        if self.grid_mapper is not None:
+            self._post_track()

@@ -45,3 +45,24 @@ class TestDistBA:
             for o in po[p]:
                 if o >= 0:
                     assert op[o] == p
+
+
+class TestDistGBAIteration:
+    def test_host_stepped_sharded_gba_converges(self, mesh, rng):
+        """The pipeline GBA path (host-driven iterations, landmark-sharded,
+        abortable between steps) must converge like the single-device one."""
+        from orb_slam2_2021_tpu.parallel.dist_ba import make_dist_gba_iteration
+
+        prob, R_gt, t_gt, pts_gt = build_problem(
+            rng, n_cams=8, n_pts=256, obs_per_pt=4, noise=0.05, n_fixed=1
+        )
+        sharded = shard_ba_problem(prob, 8)
+        cfg = OptimConfig(cg_iters=16)
+        step = make_dist_gba_iteration(cfg, mesh, CAM)
+        R, t, xw = sharded.R, sharded.t, sharded.xw
+        lam = jnp.float32(cfg.lm_lambda_init)
+        active = sharded.obs_valid.astype(jnp.float32)
+        for _ in range(8):
+            R, t, xw, lam, cost = step(sharded, R, t, xw, lam, active, jnp.bool_(True))
+        t = np.asarray(t)
+        assert np.abs(t - t_gt).max() < 2e-2, np.abs(t - t_gt).max()
