@@ -38,16 +38,27 @@ class MapStore:
 
     def __init__(self, cfg: SlamConfig):
         self.cfg = cfg
-        K = cfg.max_keyframes
-        M = cfg.max_map_points
-        N = cfg.orb.n_features
-        self.obs_cap = OBS_CAP
         # the map-update lock (Map::mMutexMapUpdate, Tracking.cc:297): held by
         # the tracking lane for its host-side map section and by the mapping
         # worker for mutations; long device solves run outside it on padded
         # snapshots and re-validate at write-back. Reentrant so the sync mode
         # (everything on one thread) is unchanged.
         self.lock = threading.RLock()
+        self._alloc()
+
+    def clear(self):
+        """Map::clear (Map.cc:133-146) + the id-counter resets in
+        Tracking::Reset (Tracking.cc:1568-1570): drop every keyframe and map
+        point and restart ids from 0. Capacities return to the configured
+        initial sizes."""
+        self._alloc()
+
+    def _alloc(self):
+        cfg = self.cfg
+        K = cfg.max_keyframes
+        M = cfg.max_map_points
+        N = cfg.orb.n_features
+        self.obs_cap = OBS_CAP
 
         # --- keyframes ---
         self.kf_valid = np.zeros(K, bool)

@@ -61,6 +61,7 @@ class LocalMapping:
         # worker-thread state (async mode)
         self._cv = threading.Condition()
         self._finish_requested = False
+        self._busy = False
         self.async_mode = False
 
     def insert_keyframe(self, k: int, words=None):
@@ -99,13 +100,33 @@ class LocalMapping:
                     self._cv.wait(timeout=0.05)
                 if self._finish_requested and not self.queue:
                     return
-            self.process_pending()
+                self._busy = True
+            try:
+                self.process_pending()
+            finally:
+                self._busy = False
 
     def request_finish(self):
         """RequestFinish (LocalMapping.cc:731-736)."""
         with self._cv:
             self._finish_requested = True
             self._cv.notify_all()
+
+    def request_reset(self):
+        """RequestReset (LocalMapping.cc:713-728): drop the queued keyframes
+        and block until the worker is between keyframes, so the caller can
+        clear the map safely. Must be called WITHOUT holding map.lock (the
+        worker needs it to finish its current keyframe)."""
+        import time as _time
+
+        with self._cv:
+            self.queue.clear()
+            self.abort_ba = True
+        if self.async_mode:
+            while self._busy:
+                _time.sleep(0.001)
+        self.recent.clear()
+        self.abort_ba = False
 
     def _process(self, k: int, words=None):
         lock = self.map.lock

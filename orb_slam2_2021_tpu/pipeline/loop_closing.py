@@ -104,6 +104,20 @@ class LoopClosing:
         self.loop_edges: Dict[int, Set[int]] = {}
 
     # ------------------------------------------------------------------
+    def request_reset(self):
+        """LoopClosing::RequestReset (LoopClosing.cc:645-672): drop queued
+        keyframes, abort a running global BA, forget loop bookkeeping."""
+        self.queue.clear()
+        self.full_ba_idx += 1
+        if self.gba_thread is not None and self.gba_thread.is_alive():
+            self.stop_gba = True
+            self.gba_thread.join()
+        self.stop_gba = False
+        self.last_loop_kf = -int(1e9)
+        self.consistent_groups = []
+        self.loop_edges = {}
+        self.loop_closed_flag = False
+
     def insert_keyframe(self, k: int, words=None):
         self.queue.append((k, words))
 

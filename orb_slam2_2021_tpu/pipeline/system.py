@@ -76,6 +76,9 @@ class System:
         self._frame_fn = make_stereo_frame_fn(cfg)
         self.frame_times: List[float] = []
         self._frame_id = 0
+        self._reset_requested = False
+        # reset-on-early-loss (Tracking.cc:493-501) requests a system reset
+        self.tracker.request_system_reset = self.reset
 
         self.async_mode = async_mode and self.local_mapper is not None
         self._worker = None
@@ -89,6 +92,32 @@ class System:
                 target=self.local_mapper.run_worker, daemon=True
             )
             self._worker.start()
+
+    # ------------------------------------------------------------------
+    def reset(self):
+        """System::Reset (System.cc:346-350): flag only; the actual clearing
+        runs on the tracking thread before the next frame (the reference's
+        TrackStereo checks mbReset the same way, System.cc:176-190)."""
+        self._reset_requested = True
+
+    def _maybe_reset(self):
+        if not self._reset_requested:
+            return
+        # Tracking::Reset orchestration (Tracking.cc:1534-1582): reset the
+        # workers first (needs map.lock FREE so the mapping worker can finish
+        # its in-flight keyframe), then clear database + map + tracker state.
+        if self.local_mapper is not None:
+            self.local_mapper.request_reset()
+        if self.loop_closer is not None:
+            self.loop_closer.request_reset()
+        if self.place is not None:
+            self.place.kfdb.clear()
+        with self.map.lock:
+            self.map.clear()
+            self.tracker.reset()
+            if self.grid_mapper is not None:
+                self.grid_mapper.process_new(loop_closed=True)  # clears grid
+        self._reset_requested = False
 
     def _post_track(self):
         """Mapping/grid work after a tracked frame: inline when synchronous,
@@ -117,6 +146,7 @@ class System:
 
         Returns Tcw as (R, t) numpy arrays, or None while initializing/lost.
         """
+        self._maybe_reset()
         t0 = time.perf_counter()
         frame = self._frame_fn(jnp.asarray(image_left, jnp.float32), jnp.asarray(image_right, jnp.float32))
         with self.map.lock:
@@ -131,6 +161,7 @@ class System:
         import functools as _ft
         from ..frontend.frame import build_mono_frame
 
+        self._maybe_reset()
         t0 = time.perf_counter()
         if not hasattr(self, "_mono_fn"):
             self._mono_fn = jax.jit(_ft.partial(build_mono_frame, cfg=self.cfg))
@@ -147,6 +178,7 @@ class System:
         import functools as _ft
         from ..frontend.frame import build_rgbd_frame
 
+        self._maybe_reset()
         t0 = time.perf_counter()
         if not hasattr(self, "_rgbd_fn"):
             self._rgbd_fn = jax.jit(_ft.partial(build_rgbd_frame, cfg=self.cfg))

@@ -64,6 +64,9 @@ class Tracking:
         self.records: List[FrameRecord] = []
         self.n_inliers_last = 0
         self.only_tracking = False  # localization mode (mbOnlyTracking)
+        self.vo_mode = False        # mbVO: tracking mostly temporal VO points
+        self.last_reloc_frame_id = -(1 << 30)  # mnLastRelocFrameId
+        self.request_system_reset = None  # set by System: reset-on-early-loss
         self.sensor = "stereo"      # "stereo" | "rgbd" | "mono"
         self._mono_ref = None       # reference frame data for mono init
 
@@ -86,16 +89,57 @@ class Tracking:
             return None
 
         ok = False
-        if self.state == TrackState.OK and self.velocity is not None:
-            ok = self._track_motion_model(frame)
-        if not ok and self.state == TrackState.OK:
-            ok = self._track_reference_kf(frame)
-        if not ok:
-            # LOST (or both trackers failed): relocalize (Tracking.cc:330-341)
-            ok = self._relocalize_lite(frame)
+        if not self.only_tracking:
+            # normal SLAM mode (Tracking.cc:317-341)
+            if self.state == TrackState.OK:
+                if self.velocity is None or frame_id < self.last_reloc_frame_id + 2:
+                    ok = self._track_reference_kf(frame)
+                else:
+                    ok = self._track_motion_model(frame)
+                    if not ok:
+                        ok = self._track_reference_kf(frame)
+            else:
+                ok = self._relocalize(frame, frame_id)
+        else:
+            # localization mode (Tracking.cc:343-412)
+            if self.state == TrackState.LOST:
+                ok = self._relocalize(frame, frame_id)
+                if ok:
+                    self.vo_mode = False
+            elif not self.vo_mode:
+                # enough real map matches in the last frame
+                if self.velocity is not None:
+                    ok = self._track_motion_model(frame)
+                else:
+                    ok = self._track_reference_kf(frame)
+            else:
+                # mbVO: mostly temporal points last frame — run BOTH the
+                # motion model and relocalization; prefer the reloc solution
+                # (Tracking.cc:364-410)
+                ok_mm = False
+                mm_pose = mm_bind = None
+                if self.velocity is not None:
+                    ok_mm = self._track_motion_model(frame)
+                    if ok_mm:
+                        mm_pose = self.last_pose
+                        mm_bind = self._bind_cur.copy()
+                ok_reloc = self._relocalize(frame, frame_id)
+                if ok_mm and not ok_reloc:
+                    self.last_pose = mm_pose
+                    self._bind_cur = mm_bind
+                    if self.vo_mode:
+                        # IncreaseFound for the real map points still tracked
+                        # (Tracking.cc:393-403)
+                        b = self._bind_cur
+                        self.map.increment_found(b[b >= 0])
+                elif ok_reloc:
+                    self.vo_mode = False
+                ok = ok_reloc or ok_mm
 
-        if ok:
-            ok = self._track_local_map(frame)
+        if ok and not (self.only_tracking and self.vo_mode):
+            # mbVO means too few map matches to retrieve a local map; skip
+            # TrackLocalMap until relocalization succeeds (Tracking.cc:419-426)
+            ok = self._track_local_map(frame, frame_id)
 
         if ok:
             self.state = TrackState.OK
@@ -105,9 +149,15 @@ class Tracking:
         else:
             self.state = TrackState.LOST
             self.velocity = None
+            # reset if the camera got lost soon after initialization
+            # (Tracking.cc:493-501): the map is too small to relocalize in
+            if (not self.only_tracking and self.map.n_kf <= 5
+                    and self.request_system_reset is not None):
+                self.request_system_reset()
+                return None
 
         self._record_frame(frame_id, timestamp, lost=not ok)
-        self._stash_last_frame(frame)
+        self._stash_last_frame(frame, frame_id)
         return self.last_pose if ok else None
 
     # ------------------------------------------------------------------
@@ -217,7 +267,7 @@ class Tracking:
         self.velocity = None
         self._bind_cur = bind1
         self._record_frame(frame_id, timestamp, lost=False)
-        self._stash_last_frame(frame)
+        self._stash_last_frame(frame, frame_id)
         words0 = None
         if self.place is not None:
             words0 = np.asarray(self.place.transform(jnp.asarray(ref["desc"]), jnp.asarray(ref["valid"])))
@@ -267,27 +317,66 @@ class Tracking:
         self.velocity = None
         self._bind_cur = mp_bind
         self._record_frame(frame_id, timestamp, lost=False)
-        self._stash_last_frame(frame)
+        self._stash_last_frame(frame, frame_id)
         words = self._compute_words(frame)
         if self.local_mapper is not None:
             self.local_mapper.insert_keyframe(k, words)
         return True
 
     # ------------------------------------------------------------------
+    VO_ID = -2  # marker id for temporal "visual odometry" points
+
     def _last_landmark_arrays(self):
-        """Landmark set carried by the last frame (bound features)."""
+        """Landmark set carried by the last frame (bound features).
+
+        In localization mode (stereo/RGB-D) this also spawns temporal
+        "visual odometry" points from the last frame's depths for features
+        without a live map binding — all closer than ThDepth, at least the
+        100 closest (UpdateLastFrame, Tracking.cc:821-885). They carry id
+        VO_ID so downstream map statistics skip them; like the reference's
+        mlpTemporalPoints they live exactly one frame (recreated from the
+        next last-frame each time, Tracking.cc:465-475)."""
         lf = self.last_frame_data
-        ids = lf["mp"]
+        # normalize stale VO bindings (-2) to unbound; real ids stay
+        ids = np.where(lf["mp"] >= 0, lf["mp"], -1)
         live = self.map.resolve_replaced(ids)
         valid = (live >= 0) & self.map.mp_valid[np.clip(live, 0, None)] & lf["kp_valid"]
         sel = np.clip(live, 0, None)
+        xw = self.map.mp_pos[sel]
+        out_ids = np.where(valid, live, -1)
+        if (self.only_tracking and self.sensor != "mono"
+                and lf.get("frame_id", -1) != self.last_kf_frame_id):
+            depth = lf["depth"]
+            cand = np.nonzero((depth > 0) & lf["kp_valid"] & ~valid)[0]
+            if len(cand):
+                order = cand[np.argsort(depth[cand], kind="stable")]
+                th = self.cfg.resolved_depth_th()
+                n_close = int((depth[order] < th).sum())
+                take = order[: max(min(100, len(order)), n_close)]
+                R_l, t_l = lf["pose"]
+                z = depth[take]
+                xy = lf["xy"]
+                xc = np.stack(
+                    [
+                        (xy[take, 0] - self.cfg.cx) * z / self.cfg.fx,
+                        (xy[take, 1] - self.cfg.cy) * z / self.cfg.fy,
+                        z,
+                    ],
+                    axis=1,
+                ).astype(np.float32)
+                xw = xw.copy()
+                xw[take] = (xc - t_l[None]) @ R_l  # R^T (xc - t)
+                valid = valid.copy()
+                valid[take] = True
+                out_ids = out_ids.copy()
+                out_ids[take] = self.VO_ID
         return {
-            "xw": self.map.mp_pos[sel],
+            "xw": xw,
             "desc": lf["desc"],
             "octave": lf["octave"],
             "angle": lf["angle"],
             "valid": valid,
-            "ids": np.where(valid, live, -1),
+            "ids": out_ids,
         }
 
     def _run_motion_step(self, frame: Frame, R_pred, t_pred, radius: float):
@@ -318,7 +407,19 @@ class Tracking:
             )
             if n_matched < 20:
                 return False
-        if n_in < self.cfg.tracking.min_inliers_track:
+        # inliers that are REAL map points (nmatchesMap, Tracking.cc:928-940):
+        # VO temporal points count toward the pose but not toward map support
+        slot_ok = (slot >= 0) & inlier
+        n_map = int((slot_ok & (lm["ids"][np.clip(slot, 0, None)] >= 0)).sum())
+        if self.only_tracking:
+            # mbVO = too few map matches (Tracking.cc:941-945)
+            if n_in < self.cfg.tracking.min_inliers_track:
+                return False
+            self._apply_matches(lm["ids"], slot, inlier)
+            self.last_pose = (R, t)
+            self.vo_mode = n_map < 10
+            return n_in > 20
+        if n_map < self.cfg.tracking.min_inliers_track:
             return False
         self._apply_matches(lm["ids"], slot, inlier)
         self.last_pose = (R, t)
@@ -360,17 +461,24 @@ class Tracking:
         self.last_pose = (np.asarray(R), np.asarray(t))
         return True
 
-    def _relocalize_lite(self, frame: Frame) -> bool:
+    def _feature_scale(self) -> float:
+        """Inlier-count thresholds in the reference assume nFeatures=2000
+        (arducam.yaml); scale them down for smaller feature budgets the same
+        way _stereo_initialize scales its 500-feature gate."""
+        return min(1.0, self.cfg.orb.n_features / 2000.0)
+
+    def _relocalize(self, frame: Frame, frame_id: int) -> bool:
         """Relocalization (Tracking.cc:1368-1532): keyframe-database
-        candidates -> descriptor matching -> PnP RANSAC -> pose optimization.
-        Falls back to reference-KF matching when no vocabulary is wired."""
+        candidates -> descriptor matching -> PnP RANSAC -> pose optimization
+        with two-stage projection-search escalation. Falls back to
+        reference-KF matching when no vocabulary is wired."""
         if self.place is None:
             return self._track_reference_kf(frame)
-        if self._relocalize_bow(frame):
+        if self._relocalize_bow(frame, frame_id):
             return True
         return self._track_reference_kf(frame)
 
-    def _relocalize_bow(self, frame: Frame) -> bool:
+    def _relocalize_bow(self, frame: Frame, frame_id: int) -> bool:
         import jax as _jax
         from ..frontend.matchers import match_bruteforce_desc
         from ..solvers.epnp import make_pnp_ransac
@@ -423,8 +531,13 @@ class Tracking:
             )
             if int(n_in) < 10:
                 continue
-            # pose optimization over the matches from the PnP pose
-            self.last_pose = (np.asarray(R), np.asarray(t))
+            # pose optimization over the matches from the PnP pose, with the
+            # reference's two-stage projection-search escalation
+            # (Tracking.cc:1468-1516: nGood<50 -> coarse window th=10/ORBdist
+            # 100 re-search + re-optimize; 30<nGood<50 -> narrow th=3/64).
+            # Our vmapped PnP covers the 300-iteration RANSAC budget in one
+            # launch, so the per-candidate 5-iteration rounds collapse into
+            # a single pass per candidate.
             lm = {
                 "xw": self.map.mp_pos[np.clip(mp, 0, None)],
                 "desc": self.map.kf_desc[kc],
@@ -433,20 +546,37 @@ class Tracking:
                 "valid": feat_ok,
                 "ids": np.where(feat_ok, mp, -1),
             }
-            Rn, tn, slot, inlier, n_opt, n_matched = self._motion_fn(
-                self.cam, frame.kp, frame.u_right,
-                jnp.asarray(self.last_pose[0]), jnp.asarray(self.last_pose[1]),
-                jnp.asarray(lm["xw"]), jnp.asarray(lm["desc"]),
-                jnp.asarray(lm["octave"]), jnp.asarray(lm["angle"]),
-                jnp.asarray(lm["valid"]),
-                jnp.float32(self.cfg.tracking.reloc_search_radius),
-            )
-            if int(n_opt) < 15:
+            min_good = max(15, int(round(50 * self._feature_scale())))
+            r0 = self.cfg.tracking.reloc_search_radius
+
+            def _refine(R_c, t_c, radius):
+                Rn, tn, slot, inlier, n_opt, _ = self._motion_fn(
+                    self.cam, frame.kp, frame.u_right,
+                    jnp.asarray(R_c), jnp.asarray(t_c),
+                    jnp.asarray(lm["xw"]), jnp.asarray(lm["desc"]),
+                    jnp.asarray(lm["octave"]), jnp.asarray(lm["angle"]),
+                    jnp.asarray(lm["valid"]),
+                    jnp.float32(radius),
+                )
+                return (np.asarray(Rn), np.asarray(tn), np.asarray(slot),
+                        np.asarray(inlier), int(n_opt))
+
+            Rn, tn, slot, inlier, n_good = _refine(np.asarray(R), np.asarray(t), r0)
+            if n_good < 10:
                 continue
-            self._apply_matches(lm["ids"], np.asarray(slot), np.asarray(inlier))
-            self.last_pose = (np.asarray(Rn), np.asarray(tn))
+            if n_good < min_good:
+                # coarse-window escalation from the optimized pose
+                Rn, tn, slot, inlier, n_good = _refine(Rn, tn, 2.0 * r0)
+                if int(round(0.6 * min_good)) <= n_good < min_good:
+                    # narrow-window final pass (th=3 analogue)
+                    Rn, tn, slot, inlier, n_good = _refine(Rn, tn, 0.4 * r0)
+            if n_good < min_good:
+                continue
+            self._apply_matches(lm["ids"], slot, inlier)
+            self.last_pose = (Rn, tn)
             self.ref_kf = kc
             self.velocity = None
+            self.last_reloc_frame_id = frame_id
             return True
         return False
 
@@ -458,9 +588,10 @@ class Tracking:
         self._bind_cur = bind
 
     # ------------------------------------------------------------------
-    def _track_local_map(self, frame: Frame) -> bool:
+    def _track_local_map(self, frame: Frame, frame_id: int) -> bool:
         """TrackLocalMap (Tracking.cc:950-994): expand to covisible KFs, match
-        their points, re-optimize, count inliers."""
+        their points, re-optimize, count inliers. Within MaxFrames of a
+        relocalization the acceptance bar is raised (Tracking.cc:983-985)."""
         bind = self._bind_cur
         matched_ids = bind[bind >= 0]
         if len(matched_ids) == 0:
@@ -522,7 +653,15 @@ class Tracking:
         self.map.increment_found(bind[bind >= 0])
 
         self.n_inliers_last = n_in
-        if n_in < self.cfg.tracking.min_inliers_localmap:
+        min_in = self.cfg.tracking.min_inliers_localmap
+        if frame_id < self.last_reloc_frame_id + self.cfg.tracking.max_frames_between_kf:
+            # more restrictive right after a relocalization (Tracking.cc:984)
+            min_in = max(
+                min_in,
+                int(round(self.cfg.tracking.min_inliers_localmap_recent
+                          * self._feature_scale())),
+            )
+        if n_in < min_in:
             return False
         self.last_pose = (np.asarray(R), np.asarray(t))
         return True
@@ -635,8 +774,27 @@ class Tracking:
         T_cr = T_cw @ np.linalg.inv(T_rw)
         self.records.append(FrameRecord(frame_id, timestamp, self.ref_kf, T_cr.astype(np.float32), lost))
 
-    def _stash_last_frame(self, frame: Frame):
+    def reset(self):
+        """Tracking::Reset bookkeeping (Tracking.cc:1534-1582): back to
+        NO_IMAGES_YET with empty trajectory records. Map/database/worker
+        clearing is orchestrated by System (the reference does it here because
+        Tracking owns the pointers; ours live on System)."""
+        self.state = TrackState.NO_IMAGES_YET
+        self.velocity = None
+        self.last_pose = None
+        self.last_frame_data = None
+        self.ref_kf = -1
+        self.last_kf_frame_id = -1
+        self.records.clear()
+        self.n_inliers_last = 0
+        self.vo_mode = False
+        self.last_reloc_frame_id = -(1 << 30)
+        self._mono_ref = None
+        self._bind_cur = np.full(self.cfg.orb.n_features, -1, np.int64)
+
+    def _stash_last_frame(self, frame: Frame, frame_id: int = -1):
         self.last_frame_data = {
+            "frame_id": frame_id,
             "mp": self._bind_cur.copy(),
             "kp_valid": np.asarray(frame.kp.valid),
             "desc": np.asarray(frame.kp.desc),
