@@ -59,7 +59,9 @@ def _per_frame_outputs(viewer, spub, image, ts, i):
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "synthetic"
 
-    from orb_slam2_2021_tpu.config import kitti_stereo_config, synthetic_config
+    from orb_slam2_2021_tpu.config import (
+        kitti_stereo_config, synthetic_config, tum_rgbd_config,
+    )
     from orb_slam2_2021_tpu.pipeline.system import System
 
     if mode == "synthetic":
@@ -104,8 +106,15 @@ def main():
     elif mode == "tum":
         from orb_slam2_2021_tpu.io.datasets import TumRgbdSequence
 
-        seq = TumRgbdSequence(sys.argv[2])
-        cfg = kitti_stereo_config()  # replace with the TUM intrinsics yaml
+        # raw (unscaled) depth: System applies DepthMapFactor itself
+        seq = TumRgbdSequence(sys.argv[2], depth_scale=1.0)
+        # pick the freiburg calibration from the sequence path (TUM publishes
+        # per-camera intrinsics; freiburg1/2 need keypoint undistortion)
+        preset = "freiburg3"
+        for p in ("freiburg1", "freiburg2", "freiburg3"):
+            if p in sys.argv[2]:
+                preset = p
+        cfg = tum_rgbd_config(preset)
         sys_ = System(cfg)
         for ts, rgb, depth in seq:
             sys_.track_rgbd(rgb, depth, timestamp=ts)

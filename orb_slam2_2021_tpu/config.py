@@ -151,6 +151,14 @@ class SlamConfig:
     width: int = 1241
     height: int = 376
     depth_th: float = 0.0           # computed: bf/fx * th_depth_factor if 0
+    # radial-tangential distortion (k1, k2, p1, p2, k3), Camera.k1.. in the
+    # settings YAML (Tracking.cc:75-93). Non-zero => keypoint coordinates are
+    # undistorted at frame build (Frame.cc:456-486). Stereo input is assumed
+    # rectified (the reference rectifies images before Frame, so stereo
+    # frames always see zero coefficients, Frame.cc:235).
+    dist_coef: Tuple[float, float, float, float, float] = (0.0, 0.0, 0.0, 0.0, 0.0)
+    # RGB-D depth map scale divisor (DepthMapFactor, Tracking.cc:147-153)
+    depth_map_factor: float = 1.0
 
     orb: OrbConfig = field(default_factory=OrbConfig)
     matcher: MatcherConfig = field(default_factory=MatcherConfig)
@@ -240,11 +248,49 @@ def config_from_yaml(path: str, **overrides) -> SlamConfig:
         fps=fps,
         width=int(s.get("Camera.width", 1241)),
         height=int(s.get("Camera.height", 376)),
+        dist_coef=(
+            float(s.get("Camera.k1", 0.0)), float(s.get("Camera.k2", 0.0)),
+            float(s.get("Camera.p1", 0.0)), float(s.get("Camera.p2", 0.0)),
+            float(s.get("Camera.k3", 0.0)),
+        ),
+        depth_map_factor=float(s.get("DepthMapFactor", 1.0)),
         orb=orb,
         tracking=TrackingConfig(
             th_depth_factor=float(s.get("ThDepth", 20.0)),
             max_frames_between_kf=int(fps),
         ),
+    )
+    return cfg.replace(**overrides) if overrides else cfg
+
+
+def tum_rgbd_config(preset: str = "freiburg1", **overrides) -> SlamConfig:
+    """TUM RGB-D intrinsics (published freiburg camera calibrations, as used
+    by the upstream ORB-SLAM2 TUM{1,2,3}.yaml settings). freiburg1/2 carry
+    strong radial distortion — keypoints are undistorted at frame build;
+    freiburg3 ships pre-undistorted imagery (zero coefficients)."""
+    presets = {
+        "freiburg1": dict(
+            fx=517.306408, fy=516.469215, cx=318.643040, cy=255.313989,
+            dist_coef=(0.262383, -0.953104, -0.005358, 0.002628, 1.163314),
+            depth_map_factor=5000.0,
+        ),
+        "freiburg2": dict(
+            fx=520.908620, fy=521.007327, cx=325.141442, cy=249.701764,
+            dist_coef=(0.231222, -0.784899, -0.003257, -0.000105, 0.917205),
+            depth_map_factor=5208.0,
+        ),
+        "freiburg3": dict(
+            fx=535.4, fy=539.2, cx=320.1, cy=247.6,
+            dist_coef=(0.0, 0.0, 0.0, 0.0, 0.0),
+            depth_map_factor=5000.0,
+        ),
+    }
+    p = presets[preset]
+    cfg = SlamConfig(
+        fx=p["fx"], fy=p["fy"], cx=p["cx"], cy=p["cy"],
+        bf=40.0, fps=30.0, width=640, height=480,
+        dist_coef=p["dist_coef"], depth_map_factor=p["depth_map_factor"],
+        tracking=TrackingConfig(th_depth_factor=40.0, max_frames_between_kf=30),
     )
     return cfg.replace(**overrides) if overrides else cfg
 

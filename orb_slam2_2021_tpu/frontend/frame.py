@@ -213,13 +213,32 @@ def build_stereo_frame(image_left, image_right, cfg: SlamConfig):
     return Frame(kp=kpl, u_right=u_right, depth=depth, sad_dist=sad)
 
 
+def _undistort_kp(kp, cfg: SlamConfig):
+    """Frame::UndistortKeyPoints (Frame.cc:456-486): keypoint coordinates are
+    mapped to the ideal pinhole camera when the config carries distortion;
+    zero coefficients compile to a no-op (static branch, like the reference's
+    mDistCoef.at<float>(0)==0 early-out)."""
+    if not any(cfg.dist_coef):
+        return kp
+    from ..ops.undistort import undistort_points
+
+    xy_un = undistort_points(kp.xy, cfg.fx, cfg.fy, cfg.cx, cfg.cy, cfg.dist_coef)
+    return kp._replace(xy=xy_un)
+
+
 def build_rgbd_frame(image, depth_map, cfg: SlamConfig, depth_scale: float = 1.0):
-    """RGB-D pseudo-stereo (Frame::ComputeStereoFromRGBD, Frame.cc:702-723)."""
+    """RGB-D pseudo-stereo (Frame::ComputeStereoFromRGBD, Frame.cc:702-723).
+
+    Depth is read at the RAW detected coordinates (the depth image is aligned
+    to the distorted RGB image); the virtual right-eye disparity uses the
+    UNDISTORTED x, exactly the reference's mvKeys/mvKeysUn split
+    (Frame.cc:708-718)."""
     kp = extract_orb(image, cfg.orb)
     h, w = depth_map.shape
     xs = jnp.clip(jnp.round(kp.xy[:, 0]).astype(jnp.int32), 0, w - 1)
     ys = jnp.clip(jnp.round(kp.xy[:, 1]).astype(jnp.int32), 0, h - 1)
     d = jnp.take(depth_map.reshape(-1), ys * w + xs) * depth_scale
+    kp = _undistort_kp(kp, cfg)
     ok = (d > 0) & kp.valid
     u_right = jnp.where(ok, kp.xy[:, 0] - cfg.bf / jnp.maximum(d, 1e-6), -1.0)
     depth = jnp.where(ok, d, -1.0)
@@ -227,7 +246,7 @@ def build_rgbd_frame(image, depth_map, cfg: SlamConfig, depth_scale: float = 1.0
 
 
 def build_mono_frame(image, cfg: SlamConfig):
-    kp = extract_orb(image, cfg.orb)
+    kp = _undistort_kp(extract_orb(image, cfg.orb), cfg)
     neg = jnp.full((kp.capacity,), -1.0, jnp.float32)
     return Frame(kp=kp, u_right=neg, depth=neg, sad_dist=neg)
 

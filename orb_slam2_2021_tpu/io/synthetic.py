@@ -139,6 +139,48 @@ class SyntheticStereoWorld:
         return out[0], out[1]
 
 
+    def render_rgbd(self, R_wc, t_wc, dist_coef=None):
+        """Render (image, depth_map) for the RGB-D path.
+
+        With dist_coef=(k1,k2,p1,p2,k3) the image and depth map are rendered
+        through the radial-tangential lens model: output pixel u_d sees the
+        scene along the IDEAL ray of its undistorted position, which is what a
+        physical distorting camera produces. The inverse model here is a
+        float64 host-side fixed-point solve independent of the engine's f32
+        undistortion op (ops/undistort.py), so the e2e test is not circular."""
+        cfg = self.cfg
+        h, w = cfg.height, cfg.width
+        us, vs = np.meshgrid(np.arange(w, dtype=np.float64), np.arange(h, dtype=np.float64))
+        xd = (us - cfg.cx) / cfg.fx
+        yd = (vs - cfg.cy) / cfg.fy
+        if dist_coef is not None and any(dist_coef):
+            k1, k2, p1, p2, k3 = dist_coef
+            x, y = xd.copy(), yd.copy()
+            for _ in range(30):
+                r2 = x * x + y * y
+                rad = 1 + r2 * (k1 + r2 * (k2 + r2 * k3))
+                ddx = 2 * p1 * x * y + p2 * (r2 + 2 * x * x)
+                ddy = p1 * (r2 + 2 * y * y) + 2 * p2 * x * y
+                x = (xd - ddx) / rad
+                y = (yd - ddy) / rad
+        else:
+            x, y = xd, yd
+        dirs = np.stack([x, y, np.ones_like(x)], axis=-1) @ np.asarray(R_wc, np.float64).T
+        c = np.asarray(t_wc, np.float64)
+        dz = np.maximum(dirs[..., 2], 1e-3)
+        lam = (8.0 - c[2]) / dz
+        for _ in range(4):
+            px = c[0] + lam * dirs[..., 0]
+            py = c[1] + lam * dirs[..., 1]
+            lam = (self._depth_at(px, py) - c[2]) / dz
+        px = c[0] + lam * dirs[..., 0]
+        py = c[1] + lam * dirs[..., 1]
+        img = self._sample_texture(px, py).astype(np.float32)
+        # depth = camera-frame z of the hit point = lam (ray dir has z=1 in
+        # the ideal camera frame before rotation)
+        return img, lam.astype(np.float32)
+
+
 def forward_trajectory(n_frames, step=0.08, yaw_rate=0.0, lateral_amp=0.0):
     """Ground-truth camera-to-world poses: mostly lateral dolly with optional
     yaw. Returns list of (R_wc [3,3], t_wc [3]) float32."""

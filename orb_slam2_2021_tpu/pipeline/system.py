@@ -181,7 +181,13 @@ class System:
         self._maybe_reset()
         t0 = time.perf_counter()
         if not hasattr(self, "_rgbd_fn"):
-            self._rgbd_fn = jax.jit(_ft.partial(build_rgbd_frame, cfg=self.cfg))
+            # DepthMapFactor semantics (Tracking.cc:147-153): raw depth maps
+            # are divided by the factor to get meters; ~0 means already metric
+            f = self.cfg.depth_map_factor
+            scale = 1.0 if abs(f) < 1e-5 or f == 1.0 else 1.0 / f
+            self._rgbd_fn = jax.jit(
+                _ft.partial(build_rgbd_frame, cfg=self.cfg, depth_scale=scale)
+            )
         frame = self._rgbd_fn(jnp.asarray(image, jnp.float32), jnp.asarray(depth_map, jnp.float32))
         with self.map.lock:
             pose = self.tracker.track_stereo_frame(frame, self._frame_id, timestamp)
