@@ -59,6 +59,11 @@ class MapStore:
         M = cfg.max_map_points
         N = cfg.orb.n_features
         self.obs_cap = OBS_CAP
+        # coarse mutation counter: bumped on keyframe/point insertion and by
+        # the mapping/loop workers after each write-back batch. The tracker
+        # keys its device-cached local-map snapshot on it so stale geometry
+        # is never reused after BA/fusion/loop corrections.
+        self.write_epoch = 0
 
         # --- keyframes ---
         self.kf_valid = np.zeros(K, bool)
@@ -212,6 +217,7 @@ class MapStore:
         self.kf_timestamp[k] = timestamp
         self.next_kf += 1
         self.n_kf += 1
+        self.write_epoch += 1
         # bind observations on the map-point side (native batch path when the
         # C++ kernels are built; python loop otherwise)
         bound = mp_bind[mp_bind >= 0]
@@ -345,6 +351,7 @@ class MapStore:
         self.mp_visible[sl] = 1
         self.mp_found[sl] = 1
         self.next_mp += n
+        self.write_epoch += 1
         return np.arange(m0, m0 + n)
 
     def _add_observation(self, m: int, k: int, feat: int):

@@ -1,10 +1,17 @@
 """Packed-descriptor Hamming distance kernels.
 
 Replaces ORBmatcher::DescriptorDistance's SWAR popcount
-(/root/reference/src/ORBmatcher.cc:1672-1688) with
-jax.lax.population_count over uint32 words, and builds the full masked
-[N, M] distance matrices that every matcher policy reduces over — the
-TPU-native reformulation of the reference's per-keypoint candidate loops.
+(/root/reference/src/ORBmatcher.cc:1672-1688) with an MXU formulation: the
+256 descriptor bits are unpacked to a {0,1} bf16 matrix once per side and the
+full [N, M] distance matrix every matcher policy reduces over comes from ONE
+systolic-array matmul via
+
+    hamming(a, b) = popcnt(a) + popcnt(b) - 2 * <bits_a, bits_b>.
+
+The dot products accumulate in f32 (preferred_element_type), and {0,1}
+values as well as row popcounts (<= 256 = 2^8) are exact in bf16/f32, so the
+result is bit-identical to the XOR+popcount formulation while running on the
+MXU instead of 8 elementwise [N, M] VPU passes.
 """
 
 from __future__ import annotations
@@ -21,19 +28,23 @@ def hamming_pair(a, b):
     return jnp.sum(x, axis=-1).astype(jnp.int32)
 
 
-def hamming_matrix(a, b):
-    """[N, 8] x [M, 8] -> [N, M] int32 distance matrix.
+def unpack_bits(a):
+    """[..., 8] uint32 -> [..., 256] bf16 in {0, 1} (little-endian per word)."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (a[..., :, None] >> shifts) & jnp.uint32(1)  # [..., 8, 32]
+    return bits.reshape(*a.shape[:-1], 256).astype(jnp.bfloat16)
 
-    Accumulates word-by-word to keep the peak buffer at [N, M] instead of
-    [N, M, 8].
-    """
-    n, _ = a.shape
-    m, _ = b.shape
-    acc = jnp.zeros((n, m), dtype=jnp.int32)
-    for wword in range(a.shape[1]):
-        x = jnp.bitwise_xor(a[:, None, wword], b[None, :, wword])
-        acc = acc + jax.lax.population_count(x).astype(jnp.int32)
-    return acc
+
+def hamming_matrix(a, b):
+    """[N, 8] x [M, 8] -> [N, M] int32 distance matrix (one MXU matmul)."""
+    A = unpack_bits(a)
+    B = unpack_bits(b)
+    dot = jax.lax.dot_general(
+        A, B, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    pa = jnp.sum(A, axis=1, dtype=jnp.float32)
+    pb = jnp.sum(B, axis=1, dtype=jnp.float32)
+    return (pa[:, None] + pb[None, :] - 2.0 * dot).astype(jnp.int32)
 
 
 def masked_best2(dist, mask, axis=1):

@@ -35,6 +35,7 @@ def assemble_ba_problem(
     O_pad: Optional[int] = None,
     Q_pad: Optional[int] = None,
     obs_per_point_cap: Optional[int] = None,
+    pq_layout: bool = False,
 ) -> Tuple[BAProblem, np.ndarray, np.ndarray, np.ndarray]:
     """Build a padded BAProblem from map-store state.
 
@@ -108,6 +109,30 @@ def assemble_ba_problem(
             pt_obs[flat_pt[keepq], runpos[keepq]] = np.nonzero(keepq)[0]
     else:
         pt_obs = np.full((P_pad, 1), -1, np.int32)
+
+    if pq_layout:
+        # re-scatter the flat observation arrays into the dense per-point
+        # layout (obs index o = p*Q + q) consumed by optim.ba_cg's PQ solver:
+        # point reductions become reshape-sums and camera reductions one-hot
+        # MXU matmuls — no TPU scatters. Requires Q_pad (and callers should
+        # pass obs_per_point_cap = Q_pad so nothing silently drops here).
+        assert Q_pad is not None
+        sel = np.clip(pt_obs, 0, None).reshape(-1)
+        val = (pt_obs >= 0).reshape(-1)
+
+        def g(arr, fill):
+            out = np.full((P_pad * Q_pad,) + arr.shape[1:], fill, arr.dtype)
+            out[val] = arr[sel[val]]
+            return out
+
+        obs_cam = g(obs_cam, 0)
+        obs_uvr = g(obs_uvr, -1.0)
+        obs_is2 = g(obs_is2, 1.0)
+        obs_kf_src = g(obs_kf_src, -1)
+        obs_fe_src = g(obs_fe_src, -1)
+        obs_mp_src = g(obs_mp_src, -1)
+        obs_valid = val
+        obs_pt = np.repeat(np.arange(P_pad, dtype=np.int32), Q_pad)
 
     Rb = np.tile(np.eye(3, dtype=np.float32), (C_pad, 1, 1))
     tb = np.zeros((C_pad, 3), np.float32)

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from ..config import OptimConfig
 from ..geometry.camera import PinholeCamera
 from ..geometry.se3 import se3_compose, se3_exp
-from ..xmath import HIGHEST
+from ..xmath import HIGHEST, smm, smv
 from .robust import (
     huber_weight,
     point_jacobian_pose,
@@ -61,7 +61,7 @@ def _residual_jacobians(cam: PinholeCamera, prob: BAProblem, R, t, xw):
     Rc = jnp.take(R, prob.obs_cam, axis=0)       # [O,3,3]
     tc = jnp.take(t, prob.obs_cam, axis=0)
     Xw = jnp.take(xw, prob.obs_pt, axis=0)
-    Xc = jnp.einsum("oij,oj->oi", Rc, Xw, precision=HIGHEST) + tc
+    Xc = smv(Rc, Xw) + tc
 
     z = Xc[:, 2]
     iz = 1.0 / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
@@ -80,8 +80,8 @@ def _residual_jacobians(cam: PinholeCamera, prob: BAProblem, R, t, xw):
     Jproj = jnp.where(is_stereo[:, None, None], Jproj3, Jproj2)
 
     Jpose = point_jacobian_pose(Xc)              # [O,3,6]
-    Jc = -jnp.einsum("oij,ojk->oik", Jproj, Jpose, precision=HIGHEST)
-    Jp = -jnp.einsum("oij,ojk->oik", Jproj, Rc, precision=HIGHEST)
+    Jc = -smm(Jproj, Jpose)
+    Jp = -smm(Jproj, Rc)
 
     chi2 = jnp.sum(r * r, axis=1) * prob.obs_inv_sigma2
     behind = z <= 0

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from ..config import OptimConfig
 from ..geometry.camera import PinholeCamera
 from ..geometry.se3 import se3_compose, se3_exp
-from ..xmath import HIGHEST
+from ..xmath import HIGHEST, smm, smv, souter, stmv
 from .ba import BAProblem, _residual_jacobians, _total_cost
 from .robust import huber_weight
 
@@ -256,6 +256,265 @@ def make_gba_iteration(cfg: OptimConfig):
     def step(cam, prob: BAProblem, R, t, xw, lam, active, use_huber):
         Rn, tn, xwn, chi2, behind, delta2 = _cg_lm_step(
             cam, prob, R, t, xw, active, lam, use_huber, cfg, cfg.cg_iters, None
+        )
+        cost_old = _total_cost(chi2, active, delta2, use_huber)
+        _, _, _, chi2_new, _ = _residual_jacobians(cam, prob, Rn, tn, xwn)
+        cost_new = _total_cost(chi2_new, active, delta2, use_huber)
+        improved = cost_new < cost_old
+        R = jnp.where(improved, Rn, R)
+        t = jnp.where(improved, tn, t)
+        xw = jnp.where(improved, xwn, xw)
+        lam = jnp.where(improved, lam * 0.5, lam * 4.0)
+        return R, t, xw, lam, cost_new
+
+    return jax.jit(step)
+
+
+# ---------------------------------------------------------------------------
+# PQ layout: the TPU-shaped local-BA solver.
+#
+# The flat-layout solver above reduces observations onto cameras/points with
+# jax.ops.segment_sum — a scatter-add, which the TPU executes serially and
+# which dominated local-BA wall time (~30 ms per LM step). Here observations
+# are laid out densely per point (obs index o = p*Q + q, Q =
+# local_ba_max_obs_per_point), so
+#   - point-side reductions are a reshape + sum over the Q axis (VPU), and
+#   - camera-side reductions are ONE one-hot matmul on the MXU
+#     (HIGHEST precision keeps the f32 accumulation exact: weights are 0/1).
+# No scatters anywhere. The camera count C stays small for local windows
+# (<=128), so the [P*Q, C] one-hot is ~32 MB and each matmul is ~300 MFLOP.
+# ---------------------------------------------------------------------------
+
+
+def _inv3x3(A):
+    """Closed-form (adjugate) batched 3x3 inverse — jnp.linalg.inv lowers to a
+    serial LU on TPU; the adjugate is nine fused VPU ops."""
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    A11 = e * i - f * h
+    A12 = c * h - b * i
+    A13 = b * f - c * e
+    A21 = f * g - d * i
+    A22 = a * i - c * g
+    A23 = c * d - a * f
+    A31 = d * h - e * g
+    A32 = b * g - a * h
+    A33 = a * e - b * d
+    det = a * A11 + b * A21 + c * A31
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    adj = jnp.stack([
+        jnp.stack([A11, A12, A13], -1),
+        jnp.stack([A21, A22, A23], -1),
+        jnp.stack([A31, A32, A33], -1),
+    ], -2)
+    return adj * inv_det[..., None, None]
+
+
+def _inv6x6_spd(M):
+    """Batched 6x6 SPD inverse via 3x3 block Schur complement — closed-form
+    VPU math instead of jnp.linalg.inv's serial LU lowering on TPU. Valid for
+    the damped normal-equation blocks (symmetric positive definite)."""
+    A = M[..., :3, :3]
+    B = M[..., :3, 3:]
+    D = M[..., 3:, 3:]
+    Ai = _inv3x3(A)
+    AiB = jnp.einsum("...ij,...jk->...ik", Ai, B, precision=HIGHEST)
+    S = D - jnp.einsum("...ji,...jk->...ik", B, AiB, precision=HIGHEST)
+    Si = _inv3x3(S)
+    TR = -jnp.einsum("...ij,...jk->...ik", AiB, Si, precision=HIGHEST)
+    TL = Ai - jnp.einsum("...ij,...kj->...ik", TR, AiB, precision=HIGHEST)
+    BL = jnp.swapaxes(TR, -1, -2)
+    top = jnp.concatenate([TL, TR], axis=-1)
+    bot = jnp.concatenate([BL, Si], axis=-1)
+    return jnp.concatenate([top, bot], axis=-2)
+
+
+def _cam_onehot(prob: BAProblem):
+    """[O, C] f32 0/1 assignment matrix (rebuilt per solve, not per step)."""
+    C = prob.R.shape[0]
+    return (
+        (prob.obs_cam[:, None] == jnp.arange(C, dtype=jnp.int32)[None, :])
+        & prob.obs_valid[:, None]
+    ).astype(jnp.float32)
+
+
+def _cg_lm_step_pq(cam, prob: BAProblem, onehot, R, t, xw, active, lam,
+                   use_huber, cfg: OptimConfig, cg_iters: int):
+    """One damped LM step with PCG, PQ layout (see module comment above)."""
+    C = prob.R.shape[0]
+    P = prob.xw.shape[0]
+    O = prob.obs_cam.shape[0]
+    Q = O // P
+
+    r, Jc, Jp, chi2, behind = _residual_jacobians(cam, prob, R, t, xw)
+    is_stereo = prob.obs_uvr[:, 2] >= 0
+    delta2 = jnp.where(is_stereo, cfg.chi2_stereo, cfg.chi2_mono)
+    wh = jnp.where(use_huber, huber_weight(chi2, delta2), 1.0)
+    w = prob.obs_inv_sigma2 * wh * active
+
+    free_o = jnp.take(prob.cam_free, prob.obs_cam)
+    Jc = Jc * free_o[:, None, None]
+    Jcw = Jc * w[:, None, None]                                     # [O,3,6]
+
+    # per-obs block algebra on the VPU (souter/stmv/smv: xmath small-matmul
+    # helpers); camera-side reductions as one-hot matmuls on the MXU
+    Uo = souter(Jcw, Jc)                                            # [O,6,6]
+    U = jnp.einsum("oc,okl->ckl", onehot, Uo, precision=HIGHEST)    # [C,6,6]
+    bco = stmv(Jcw, r)                                              # [O,6]
+    b_c = jnp.einsum("oc,ok->ck", onehot, bco, precision=HIGHEST)   # [C,6]
+
+    # point-side blocks via reshape-sum over the Q axis (no scatter)
+    Jpw = Jp * w[:, None, None]
+    Vo = souter(Jpw, Jp)                                            # [O,3,3]
+    V = Vo.reshape(P, Q, 3, 3).sum(axis=1)
+    bpo = stmv(Jpw, r)
+    b_p = bpo.reshape(P, Q, 3).sum(axis=1)
+
+    Wcp = souter(Jcw, Jp)                                           # [O,6,3]
+
+    eyeC = jnp.eye(6, dtype=R.dtype)
+    eyeP = jnp.eye(3, dtype=R.dtype)
+    U_d = U + lam * eyeC[None] * jnp.maximum(
+        jnp.diagonal(U, axis1=1, axis2=2), 1e-6
+    )[:, :, None] * eyeC[None] + 1e-8 * eyeC[None]
+    V_d = V + lam * eyeP[None] * jnp.maximum(
+        jnp.diagonal(V, axis1=1, axis2=2), 1e-6
+    )[:, :, None] * eyeP[None] + 1e-8 * eyeP[None]
+    U_d = jnp.where(prob.cam_free[:, None, None], U_d, eyeC[None])
+    V_inv = _inv3x3(V_d)
+    free = prob.cam_free[:, None]
+
+    def pt_gather(z):
+        """[P,3] -> per-obs [O,3] (pure broadcast: o = p*Q + q)."""
+        return jnp.broadcast_to(z[:, None, :], (P, Q, 3)).reshape(O, 3)
+
+    # Schur RHS: b~ = b_c - sum_o W_o (V^-1 b_p)[pt(o)]
+    Vb = smv(V_inv, b_p)
+    y = smv(Wcp, pt_gather(Vb))
+    b_corr = jnp.einsum("oc,oi->ci", onehot, y, precision=HIGHEST)
+    rhs = -(b_c - b_corr) * free
+
+    def S_apply(x):
+        xo = jnp.take(x, prob.obs_cam, axis=0)                      # [O,6]
+        wtx = stmv(Wcp, xo)                                         # [O,3]
+        wtx = wtx.reshape(P, Q, 3).sum(axis=1)                      # [P,3]
+        z = smv(V_inv, wtx)
+        yo = smv(Wcp, pt_gather(z))
+        corr = jnp.einsum("oc,oi->ci", onehot, yo, precision=HIGHEST)
+        out = smv(U_d, x) - corr
+        return out * free
+
+    M_inv = _inv6x6_spd(U_d)
+
+    def precond(v):
+        return smv(M_inv, v) * free
+
+    def dot(a, b):
+        return jnp.sum(a * b)
+
+    x0 = jnp.zeros_like(rhs)
+    r0 = rhs
+    z0 = precond(r0)
+
+    def cg_body(carry, _):
+        x, rr, z, p, rz = carry
+        Sp = S_apply(p)
+        pSp = dot(p, Sp)
+        alpha = rz / jnp.where(jnp.abs(pSp) < 1e-20, 1e-20, pSp)
+        alive = rz > 1e-18
+        alpha = jnp.where(alive, alpha, 0.0)
+        x = x + alpha * p
+        rr = rr - alpha * Sp
+        z = precond(rr)
+        rz_new = dot(rr, z)
+        beta = jnp.where(alive, rz_new / jnp.where(rz < 1e-20, 1e-20, rz), 0.0)
+        p = z + beta * p
+        return (x, rr, z, p, rz_new), None
+
+    (dx, _, _, _, _), _ = jax.lax.scan(
+        cg_body, (x0, r0, z0, z0, dot(r0, z0)), None, length=cg_iters
+    )
+    delta_c = dx * free
+
+    dco = jnp.take(delta_c, prob.obs_cam, axis=0)
+    wt_dc = stmv(Wcp, dco)
+    wt_dc = wt_dc.reshape(P, Q, 3).sum(axis=1)
+    delta_p = -smv(V_inv, b_p + wt_dc)
+
+    dR, dt = se3_exp(delta_c)
+    R_new, t_new = se3_compose(dR, dt, R, t)
+    xw_new = xw + delta_p
+    return R_new, t_new, xw_new, chi2, behind, delta2
+
+
+def ba_solve_cg_pq(cam, prob: BAProblem, cfg: OptimConfig,
+                   iters_phase1: int, iters_phase2: int):
+    """PQ-layout two-phase LM — drop-in for ba_solve_cg on problems assembled
+    with pq_layout=True (obs index o = p*Q + q)."""
+    onehot = _cam_onehot(prob)
+    cg_iters = cfg.cg_iters
+
+    def phase(R, t, xw, active, lam, n_iters, use_huber):
+        def body(carry, _):
+            R, t, xw, lam = carry
+            Rn, tn, xwn, chi2, behind, delta2 = _cg_lm_step_pq(
+                cam, prob, onehot, R, t, xw, active, lam, use_huber, cfg, cg_iters
+            )
+            cost_old = _total_cost(chi2, active, delta2, use_huber)
+            _, _, _, chi2_new, _ = _residual_jacobians(cam, prob, Rn, tn, xwn)
+            cost_new = _total_cost(chi2_new, active, delta2, use_huber)
+            improved = cost_new < cost_old
+            R = jnp.where(improved, Rn, R)
+            t = jnp.where(improved, tn, t)
+            xw = jnp.where(improved, xwn, xw)
+            lam = jnp.where(improved, lam * 0.5, lam * 4.0)
+            return (R, t, xw, lam), None
+
+        (R, t, xw, lam), _ = jax.lax.scan(body, (R, t, xw, lam), None, length=n_iters)
+        return R, t, xw, lam
+
+    active0 = prob.obs_valid.astype(jnp.float32)
+    lam0 = jnp.float32(cfg.lm_lambda_init)
+    R, t, xw = prob.R, prob.t, prob.xw
+
+    R, t, xw, lam = phase(R, t, xw, active0, lam0, iters_phase1, jnp.bool_(True))
+
+    _, _, _, chi2, behind = _residual_jacobians(cam, prob, R, t, xw)
+    is_stereo = prob.obs_uvr[:, 2] >= 0
+    delta2 = jnp.where(is_stereo, cfg.chi2_stereo, cfg.chi2_mono)
+    inlier = prob.obs_valid & (chi2 <= delta2) & (~behind)
+
+    if iters_phase2 > 0:
+        active1 = inlier.astype(jnp.float32)
+        R, t, xw, _ = phase(R, t, xw, active1, lam0, iters_phase2, jnp.bool_(False))
+        _, _, _, chi2, behind = _residual_jacobians(cam, prob, R, t, xw)
+        inlier = prob.obs_valid & (chi2 <= delta2) & (~behind)
+
+    return R, t, xw, inlier
+
+
+@functools.lru_cache(maxsize=4)
+def make_local_ba_cg_pq(cfg: OptimConfig):
+    return jax.jit(
+        functools.partial(
+            ba_solve_cg_pq,
+            cfg=cfg,
+            iters_phase1=cfg.local_ba_iters1,
+            iters_phase2=cfg.local_ba_iters2,
+        )
+    )
+
+
+@functools.lru_cache(maxsize=4)
+def make_lm_iteration_pq(cfg: OptimConfig):
+    """Single PQ-layout LM iteration for the abortable host-stepped local BA
+    (mbAbortBA semantics, Optimizer.cc:519-520)."""
+
+    def step(cam, prob: BAProblem, R, t, xw, lam, active, use_huber):
+        onehot = _cam_onehot(prob)
+        Rn, tn, xwn, chi2, behind, delta2 = _cg_lm_step_pq(
+            cam, prob, onehot, R, t, xw, active, lam, use_huber, cfg, cfg.cg_iters
         )
         cost_old = _total_cost(chi2, active, delta2, use_huber)
         _, _, _, chi2_new, _ = _residual_jacobians(cam, prob, Rn, tn, xwn)

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from ..config import OptimConfig
 from ..geometry.camera import PinholeCamera
 from ..geometry.se3 import se3_compose, se3_exp
-from ..xmath import HIGHEST
+from ..xmath import HIGHEST, smm
 from .robust import (
     huber_weight,
     mono_residual,
@@ -62,8 +62,8 @@ def _build_normal_eq(cam, R, t, obs: PoseObs, active, use_huber, chi2_mono, chi2
     r3 = stereo_residual(cam, Xc, obs.uvr)          # [N, 3]
     r2 = mono_residual(cam, Xc, obs.uvr[:, :2])     # [N, 2]
     Jp = point_jacobian_pose(Xc)                    # [N, 3, 6]
-    J3 = -jnp.einsum("nij,njk->nik", proj_jacobian_stereo(cam, Xc), Jp, precision=HIGHEST)
-    J2 = -jnp.einsum("nij,njk->nik", proj_jacobian_mono(cam, Xc), Jp, precision=HIGHEST)
+    J3 = -smm(proj_jacobian_stereo(cam, Xc), Jp)
+    J2 = -smm(proj_jacobian_mono(cam, Xc), Jp)
 
     # unify mono into 3-dim residual with zeroed third row
     r = jnp.where(is_stereo[:, None], r3, jnp.pad(r2, ((0, 0), (0, 1))))
@@ -84,6 +84,19 @@ def _build_normal_eq(cam, R, t, obs: PoseObs, active, use_huber, chi2_mono, chi2
     )
     err = jnp.sum(rho * active)
     return H, b, err
+
+
+def _robust_cost(cam, R, t, obs: PoseObs, active, use_huber, chi2_mono, chi2_stereo):
+    """Total robust cost only — no Jacobians (the LM accept test needs just
+    the scalar, so skip the [N,3,6] products of _build_normal_eq)."""
+    chi, _ = _chi2(cam, R, t, obs)
+    delta2 = jnp.where(obs.uvr[:, 2] >= 0, chi2_stereo, chi2_mono)
+    rho = jnp.where(
+        (chi <= delta2) | ~use_huber,
+        chi,
+        2.0 * jnp.sqrt(delta2 * jnp.maximum(chi, 1e-12)) - delta2,
+    )
+    return jnp.sum(rho * active)
 
 
 def pose_optimize(
@@ -115,7 +128,7 @@ def pose_optimize(
             delta = -jnp.linalg.solve(Hd, b)
             dR, dt = se3_exp(delta)
             Rn, tn = se3_compose(dR, dt, R, t)
-            _, _, err_new = _build_normal_eq(
+            err_new = _robust_cost(
                 cam, Rn, tn, obs, inlier, use_huber, cfg.chi2_mono, cfg.chi2_stereo
             )
             improved = err_new < err

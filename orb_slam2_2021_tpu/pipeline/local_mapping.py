@@ -32,8 +32,14 @@ from ..geometry.camera import PinholeCamera
 from ..mapping.map_store import MapStore
 from ..optim.assemble import assemble_ba_problem
 from ..optim.ba import make_local_ba
-from ..optim.ba_cg import make_local_ba_cg
-from .mapping_steps import KFView, make_fuse_fn, make_triangulate_fn
+from ..optim.ba_cg import make_local_ba_cg_pq
+from .mapping_steps import (
+    KFView,
+    make_fuse_batch_fn,
+    make_fuse_fn,
+    make_triangulate_batch_fn,
+    make_triangulate_fn,
+)
 
 
 class LocalMapping:
@@ -48,11 +54,13 @@ class LocalMapping:
         self.loop_closer = None
         self.enable_ba = enable_ba
         self._tri_fn = make_triangulate_fn(cfg)
+        self._tri_batch_fn = make_triangulate_batch_fn(cfg)
         self._fuse_fn = make_fuse_fn(cfg)
+        self._fuse_batch_fn = make_fuse_batch_fn(cfg)
         if not enable_ba:
             self._ba_fn = None
         elif cfg.optim.use_cg_local_ba:
-            self._ba_fn = make_local_ba_cg(cfg.optim)
+            self._ba_fn = make_local_ba_cg_pq(cfg.optim)
         else:
             self._ba_fn = make_local_ba(cfg.optim)
         self.abort_ba = False  # mbAbortBA (LocalMapping.cc:123)
@@ -140,6 +148,7 @@ class LocalMapping:
             self._local_ba(k)
         with lock:
             self._cull_keyframes(k)
+            self.map.write_epoch += 1  # snapshot caches must refresh
         if self.loop_closer is not None:
             self.loop_closer.insert_keyframe(k, words)
             self.loop_closer.process_pending()
@@ -158,6 +167,27 @@ class LocalMapping:
             valid=jnp.asarray(valid),
             R=jnp.asarray(self.map.kf_R[k]),
             t=jnp.asarray(self.map.kf_t[k]),
+        )
+
+    def _kf_views(self, ks, unbound_only: bool, T_pad: int) -> KFView:
+        """Stacked [T_pad, ...] views for one batched dispatch; pad entries
+        (duplicates of the first id) carry valid=False so they match nothing.
+        The fixed T_pad keeps one compiled program per shape."""
+        m = self.map
+        idx = np.asarray(list(ks) + [int(ks[0])] * (T_pad - len(ks)), np.int64)
+        valid = m.kf_feat_valid[idx].copy()
+        if unbound_only:
+            valid &= m.kf_mp[idx] < 0
+        valid[len(ks):] = False
+        return KFView(
+            xy=jnp.asarray(m.kf_xy[idx]),
+            ur=jnp.asarray(m.kf_ur[idx]),
+            depth=jnp.asarray(m.kf_depth[idx]),
+            octave=jnp.asarray(m.kf_octave[idx]),
+            desc=jnp.asarray(m.kf_desc[idx]),
+            valid=jnp.asarray(valid),
+            R=jnp.asarray(m.kf_R[idx]),
+            t=jnp.asarray(m.kf_t[idx]),
         )
 
     # ------------------------------------------------------------------
@@ -190,30 +220,49 @@ class LocalMapping:
     def _create_new_points(self, k: int):
         """CreateNewMapPoints (LocalMapping.cc:211-458)."""
         nn = self.cfg.mapping.triangulation_neighbors
-        neighbors = self.map.covisible_keyframes(k, nn)
+        neighbors = [int(x) for x in self.map.covisible_keyframes(k, nn)]
         if len(neighbors) == 0:
             return
-        view1 = self._kf_view(k, unbound_only=True)
         baseline_min = self.cfg.bf / self.cfg.fx  # stereo: baseline > b
 
-        created: List[int] = []
-        for k2 in neighbors:
-            k2 = int(k2)
-            view2 = self._kf_view(k2, unbound_only=True)
-            match2, xw, ok, baseline = self._tri_fn(self.cam, view1, view2)
-            if self.monocular:
-                # mono gate: baseline / median scene depth > 0.01
-                # (LocalMapping.cc:270-280 + ComputeSceneMedianDepth)
+        # baseline gates (LocalMapping.cc:258-280) use only keyframe poses —
+        # apply them on the host BEFORE the batched dispatch so short-baseline
+        # pairs never cost device matching work
+        m = self.map
+        c1 = -m.kf_R[k].T @ m.kf_t[k]
+
+        def _baseline(k2):
+            return float(np.linalg.norm((-m.kf_R[k2].T @ m.kf_t[k2]) - c1))
+
+        if self.monocular:
+            keep = []
+            for k2 in neighbors:
                 med = self._median_scene_depth(k2)
-                if med <= 0 or float(baseline) / med < 0.01:
-                    continue
-            elif float(baseline) < baseline_min:
-                continue  # LocalMapping.cc:264-268 (stereo branch)
-            ok = np.asarray(ok)
+                if med > 0 and _baseline(k2) / med >= 0.01:
+                    keep.append(k2)
+            neighbors = keep
+        else:
+            neighbors = [k2 for k2 in neighbors if _baseline(k2) >= baseline_min]
+        if not neighbors:
+            return
+        view1 = self._kf_view(k, unbound_only=True)
+
+        # all surviving pairs in ONE vmapped dispatch, ONE pull set (the
+        # per-neighbor loop of LocalMapping.cc:227-244 costs a device round
+        # trip each on a remote-attached TPU)
+        views2 = self._kf_views(neighbors, unbound_only=True, T_pad=nn)
+        match2_b, xw_b, ok_b, _ = self._tri_batch_fn(self.cam, view1, views2)
+        match2_b = np.asarray(match2_b)
+        xw_b = np.asarray(xw_b)
+        ok_b = np.asarray(ok_b)
+
+        created: List[int] = []
+        for ti, k2 in enumerate(neighbors):
+            ok = ok_b[ti]
             if not ok.any():
                 continue
-            match2 = np.asarray(match2)
-            xw = np.asarray(xw)
+            match2 = match2_b[ti]
+            xw = xw_b[ti]
             f1s = np.nonzero(ok)[0]
             for f1 in f1s:
                 f2 = int(match2[f1])
@@ -264,9 +313,34 @@ class LocalMapping:
         own_ids = own_ids[own_ids >= 0]
         touched: List[int] = list(own_ids)
 
-        # forward: project k's points into each target
-        for kt in targets:
-            self._fuse_points_into(np.asarray(own_ids, np.int64), kt)
+        # forward: project k's points into ALL targets, 8 stacked views per
+        # dispatch (the reference's per-target loop, LocalMapping.cc:495-505,
+        # costs a device round trip each)
+        ids = np.asarray(own_ids, np.int64)
+        ids = ids[self.map.mp_valid[ids]]
+        if len(ids):
+            P0 = self.cfg.orb.n_features  # one KF binds <= n_features points
+            pad = P0 - len(ids)
+            sel = np.concatenate([ids, np.zeros(max(pad, 0), np.int64)])[:P0]
+            valid = np.zeros(P0, bool)
+            valid[: min(len(ids), P0)] = True
+            args = (
+                jnp.asarray(self.map.mp_pos[sel]),
+                jnp.asarray(self.map.mp_normal[sel]),
+                jnp.asarray(self.map.mp_min_dist[sel]),
+                jnp.asarray(self.map.mp_max_dist[sel]),
+                jnp.asarray(self.map.mp_desc[sel]),
+                jnp.asarray(valid),
+            )
+            TB = 8
+            for s in range(0, len(targets), TB):
+                chunk = targets[s : s + TB]
+                views = self._kf_views(chunk, unbound_only=False, T_pad=TB)
+                bf_b, acc_b, _ = self._fuse_batch_fn(self.cam, views, *args)
+                bf_b = np.asarray(bf_b)
+                acc_b = np.asarray(acc_b)
+                for ti, kt in enumerate(chunk):
+                    self._merge_fuse(sel, acc_b[ti], bf_b[ti], kt)
         # backward: project all target points into k
         fuse_ids = self.map.kf_mp[np.asarray(targets, np.int64)]
         fuse_ids = np.unique(fuse_ids[fuse_ids >= 0])
@@ -295,25 +369,28 @@ class LocalMapping:
                 jnp.asarray(self.map.mp_desc[sel]),
                 jnp.asarray(valid),
             )
-            accept = np.asarray(accept)
-            best_feat = np.asarray(best_feat)
-            for i in np.nonzero(accept)[0]:
-                m = int(sel[i])
-                if not self.map.mp_valid[m]:
+            self._merge_fuse(sel, np.asarray(accept), np.asarray(best_feat), kt)
+
+    def _merge_fuse(self, sel, accept, best_feat, kt: int):
+        """Apply fuse matches: add observation or merge duplicate points
+        (ORBmatcher::Fuse host half, ORBmatcher.cc:941-988)."""
+        for i in np.nonzero(accept)[0]:
+            m = int(sel[i])
+            if not self.map.mp_valid[m]:
+                continue
+            f = int(best_feat[i])
+            existing = int(self.map.kf_mp[kt, f])
+            if existing >= 0:
+                if existing == m or not self.map.mp_valid[existing]:
                     continue
-                f = int(best_feat[i])
-                existing = int(self.map.kf_mp[kt, f])
-                if existing >= 0:
-                    if existing == m or not self.map.mp_valid[existing]:
-                        continue
-                    # merge into the better-observed point (ORBmatcher.cc:958-968)
-                    if self.map.mp_n_obs[existing] > self.map.mp_n_obs[m]:
-                        self.map.replace_map_point(m, existing)
-                    else:
-                        self.map.replace_map_point(existing, m)
+                # merge into the better-observed point (ORBmatcher.cc:958-968)
+                if self.map.mp_n_obs[existing] > self.map.mp_n_obs[m]:
+                    self.map.replace_map_point(m, existing)
                 else:
-                    self.map.kf_mp[kt, f] = m
-                    self.map._add_observation(m, kt, f)
+                    self.map.replace_map_point(existing, m)
+            else:
+                self.map.kf_mp[kt, f] = m
+                self.map._add_observation(m, kt, f)
 
     # ------------------------------------------------------------------
     def _local_ba(self, k: int):
@@ -360,11 +437,14 @@ class LocalMapping:
                     cam_free[frees[np.argmin(cams_arr[frees])]] = False
 
             use_cg = ocfg.use_cg_local_ba
+            # CG path: PQ layout (scatter-free reductions, optim/ba_cg.py);
+            # dense path: flat obs + pt_obs reverse index
             prob, obs_kf, obs_fe, obs_mp = assemble_ba_problem(
                 self.map, cams_arr, cam_free, mp,
-                C_pad=C, P_pad=P, O_pad=O,
-                Q_pad=None if use_cg else Q,
-                obs_per_point_cap=None if use_cg else Q,
+                C_pad=C, P_pad=P, O_pad=None if use_cg else O,
+                Q_pad=Q,
+                obs_per_point_cap=Q,
+                pq_layout=use_cg,
             )
 
         # device solve — outside the map lock so tracking never stalls on it
@@ -404,10 +484,10 @@ class LocalMapping:
         """Host-stepped two-phase LM with an abort check between iterations
         (the g2o forceStop polled via mbAbortBA, Optimizer.cc:519-520).
         Returns None when aborted before any useful progress."""
-        from ..optim.ba_cg import make_classify, make_gba_iteration
+        from ..optim.ba_cg import make_classify, make_lm_iteration_pq
 
         ocfg = self.cfg.optim
-        step = make_gba_iteration(ocfg)
+        step = make_lm_iteration_pq(ocfg)
         classify = make_classify(ocfg)
         R, t, xw = prob.R, prob.t, prob.xw
         lam = jnp.float32(ocfg.lm_lambda_init)

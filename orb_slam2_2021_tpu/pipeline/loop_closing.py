@@ -427,6 +427,7 @@ class LoopClosing:
         self.loop_closed_flag = True
         self.n_loops += 1
         self.map.big_change_idx += 1
+        self.map.write_epoch += 1
 
     # ------------------------------------------------------------------
     def _optimize_essential_graph(self, k, loop_kf, corrected, old_poses,
@@ -684,3 +685,4 @@ class LoopClosing:
             pw_new = np.einsum("nji,nj->ni", m.kf_R[r], pc - m.kf_t[r])
             m.mp_pos[others] = pw_new.astype(np.float32)
         m.update_point_stats(np.nonzero(m.mp_valid)[0])
+        m.write_epoch += 1

@@ -275,5 +275,26 @@ def make_triangulate_fn(cfg: SlamConfig):
 
 
 @functools.lru_cache(maxsize=4)
+def make_triangulate_batch_fn(cfg: SlamConfig):
+    """vmapped triangulation of ONE keyframe against T stacked neighbor views
+    in a single dispatch (CreateNewMapPoints iterates neighbors one by one,
+    LocalMapping.cc:227-244; the per-neighbor device round trips dominate on
+    a remote-attached TPU, so all T pairs ride one launch)."""
+    f = functools.partial(triangulate_pair, cfg=cfg)
+    return jax.jit(jax.vmap(f, in_axes=(None, None, 0)))
+
+
+@functools.lru_cache(maxsize=4)
 def make_fuse_fn(cfg: SlamConfig):
     return jax.jit(functools.partial(fuse_project, cfg=cfg))
+
+
+@functools.lru_cache(maxsize=4)
+def make_fuse_batch_fn(cfg: SlamConfig):
+    """vmapped fuse of one candidate point set into T stacked target views in
+    a single dispatch (SearchInNeighbors' forward loop,
+    LocalMapping.cc:495-505)."""
+    f = functools.partial(fuse_project, cfg=cfg)
+    return jax.jit(
+        jax.vmap(f, in_axes=(None, 0, None, None, None, None, None, None))
+    )

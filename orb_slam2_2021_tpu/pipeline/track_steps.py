@@ -112,6 +112,129 @@ def local_track_step(
     return R, t, slot, inlier, n_in, visible
 
 
+def fused_track_step(
+    cam: PinholeCamera,
+    kp: Keypoints,
+    feat_ur,
+    depth,
+    last_desc, last_octave, last_angle, last_kp_valid,  # device refs (prev frame)
+    last_geom,      # [N, 4] f32: world pos (3) + map-liveness flag
+    last_slot,      # [N] i32: local-snapshot slot of each last-frame landmark (-1)
+    pose_pack,      # [16] f32: R_pred(9), t_pred(3), radius, depth_th, min_matched
+    snap_geom,      # [P, 8] f32: pos(3), normal(3), min_dist, max_dist
+    snap_desc,      # [P, 8] u32
+    snap_valid,     # [P] bool
+    cfg: SlamConfig,
+):
+    """TrackWithMotionModel + TrackLocalMap in ONE device program
+    (Tracking.cc:887-948 then :950-994), with the widened-window retry
+    (Tracking.cc:920-927) as a lax.cond instead of a second host dispatch.
+
+    The transfer contract is the point of this fusion: per frame the host
+    uploads two small packed arrays (last_geom+last_slot, pose_pack) and pulls
+    two packed results; descriptors/angles/octaves of the last frame are
+    device-resident refs from the previous frame build, and the local-map
+    snapshot is a device-cached upload refreshed only when the map changes.
+    Over a remote-attached TPU every extra device->host copy costs ~25 ms of
+    latency, so transfer COUNT — not bytes — dominates the tracking lane.
+
+    Returns (out_f [30] f32, out_i [N + P] i32):
+      out_f = [R_final(9), t_final(3), n_matched_motion, n_in_motion,
+               n_in_final, tracked_close, untracked_close, widened_retry,
+               R_motion(9), t_motion(3)]
+      out_i = [enc (N): -1 unbound / [0,N) last-frame slot / [N,N+P) snapshot
+               slot, all post-inlier-gating; visible (P) 0/1]
+    """
+    R_pred = pose_pack[:9].reshape(3, 3)
+    t_pred = pose_pack[9:12]
+    radius = pose_pack[12]
+    depth_th = pose_pack[13]
+    min_matched = pose_pack[14].astype(jnp.int32)
+
+    last_xw = last_geom[:, :3]
+    last_valid = (last_geom[:, 3] > 0) & last_kp_valid
+
+    def motion(r):
+        R, t, slot, inlier, n_in, n_matched = motion_track_step(
+            cam, kp, feat_ur, R_pred, t_pred,
+            last_xw, last_desc, last_octave, last_angle, last_valid,
+            r, cfg,
+        )
+        return R, t, slot, inlier, jnp.int32(n_in), jnp.int32(n_matched)
+
+    first = motion(radius)
+    widened = first[5] < min_matched
+    R1, t1, slot1, inl1, nin1, nm1 = jax.lax.cond(
+        widened, lambda: motion(2.0 * radius), lambda: first
+    )
+
+    n = kp.capacity
+    bound = (slot1 >= 0) & inl1
+    bound_xw = jnp.take(last_xw, jnp.clip(slot1, 0), axis=0)
+
+    # exclude points already matched this frame from the local search
+    # (SearchLocalPoints skips mnLastFrameSeen == cur, Tracking.cc:1172-1178)
+    P = snap_valid.shape[0]
+    sel_slot = jnp.where(bound, jnp.take(last_slot, jnp.clip(slot1, 0)), -1)
+    already = jnp.zeros(P, bool).at[
+        jnp.where(sel_slot >= 0, sel_slot, P)
+    ].set(True, mode="drop")
+    snap_ok = snap_valid & ~already
+
+    R2, t2, slot2, inl2, nin2, visible = local_track_step(
+        cam, kp, feat_ur, R1, t1, bound_xw, bound,
+        snap_geom[:, :3], snap_geom[:, 3:6], snap_geom[:, 6], snap_geom[:, 7],
+        snap_desc, snap_ok, cfg,
+    )
+
+    new_bound = slot2 >= 0
+    enc = jnp.where(bound, slot1, jnp.full((n,), -1, jnp.int32))
+    enc = jnp.where(new_bound, slot2 + n, enc)
+    enc = jnp.where((bound | new_bound) & inl2, enc, -1)
+
+    close = (depth > 0) & (depth < depth_th) & kp.valid
+    tracked_close = jnp.sum(close & (enc >= 0))
+    untracked_close = jnp.sum(close & (enc < 0))
+
+    f32 = jnp.float32
+    out_f = jnp.concatenate([
+        R2.reshape(-1), t2,
+        jnp.stack([
+            nm1.astype(f32), nin1.astype(f32), jnp.asarray(nin2, f32),
+            tracked_close.astype(f32), untracked_close.astype(f32),
+            widened.astype(f32),
+        ]),
+        R1.reshape(-1), t1,
+    ])
+    out_i = jnp.concatenate([enc, visible.astype(jnp.int32)])
+    return out_f, out_i
+
+
+def frame_pack_step(kp: Keypoints, feat_ur, depth):
+    """Pack per-frame arrays for a SINGLE device->host pull pair (f32 + u32)
+    at keyframe creation / initialization — the only times the host needs the
+    raw feature data."""
+    f = jnp.concatenate([
+        kp.xy,
+        feat_ur[:, None], depth[:, None],
+        kp.angle[:, None],
+        kp.octave.astype(jnp.float32)[:, None],
+        kp.valid.astype(jnp.float32)[:, None],
+        kp.response[:, None],
+    ], axis=1)
+    return f, kp.desc
+
+
+@functools.lru_cache(maxsize=4)
+def make_fused_track_fn(cfg: SlamConfig):
+    return jax.jit(functools.partial(fused_track_step, cfg=cfg))
+
+
+@functools.lru_cache(maxsize=4)
+def make_frame_pack_fn(cfg: SlamConfig):
+    return jax.jit(frame_pack_step)
+
+
 @functools.lru_cache(maxsize=4)
 def make_motion_track_fn(cfg: SlamConfig):
     return jax.jit(functools.partial(motion_track_step, cfg=cfg))

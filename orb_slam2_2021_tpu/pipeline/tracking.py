@@ -25,7 +25,12 @@ from ..config import SlamConfig
 from ..frontend.frame import Frame
 from ..geometry.camera import PinholeCamera
 from ..mapping.map_store import MapStore
-from .track_steps import make_local_track_fn, make_motion_track_fn
+from .track_steps import (
+    make_frame_pack_fn,
+    make_fused_track_fn,
+    make_local_track_fn,
+    make_motion_track_fn,
+)
 
 
 class TrackState(Enum):
@@ -33,6 +38,41 @@ class TrackState(Enum):
     NOT_INITIALIZED = 1
     OK = 2
     LOST = 3
+
+
+class LastFrame:
+    """Device-resident stash of the previous frame.
+
+    The hot fused tracking path consumes the previous frame's descriptors /
+    octaves / angles directly as device arrays (`.kp`), so the steady-state
+    tracking lane never copies feature data off the device. Host-side numpy
+    views (keys: xy, ur, depth, angle, octave, kp_valid, desc, response) are
+    materialized lazily — in TWO packed pulls — only when a slow path
+    (localization VO spawn, mono, relocalization, viz) asks for them. On a
+    remote-attached TPU each device->host copy costs ~25 ms of latency, which
+    is why the stash is transfer-count-frugal rather than eagerly pulled."""
+
+    def __init__(self, tracker, frame, frame_id, bind, pose, host=None):
+        self._tr = tracker
+        self._frame = frame
+        self.kp = frame.kp
+        self.ur_dev = frame.u_right
+        self.depth_dev = frame.depth
+        self._data = {"frame_id": frame_id, "mp": bind, "pose": pose}
+        self._host = host
+
+    def get(self, key, default=None):
+        try:
+            return self[key]
+        except KeyError:
+            return default
+
+    def __getitem__(self, key):
+        if key in self._data:
+            return self._data[key]
+        if self._host is None:
+            self._host = self._tr._frame_host_arrays(self._frame)
+        return self._host[key]
 
 
 @dataclass
@@ -72,6 +112,20 @@ class Tracking:
 
         self._motion_fn = make_motion_track_fn(cfg)
         self._local_fn = make_local_track_fn(cfg)
+        self._fused_fn = make_fused_track_fn(cfg)
+        self._pack_fn = make_frame_pack_fn(cfg)
+
+        # single-slot host-view cache for the current frame (2 packed pulls)
+        self._fh = None
+        # device-cached local-map snapshot (re-uploaded only when the local
+        # keyframe set or the map content changes, not per frame)
+        self._snap_key = None
+        self._snap_dev = None
+        self._snap_ids = None
+        self._id2slot = None
+        # (tracked_close, untracked_close) computed on device by the fused
+        # step; None on frames that took a slow path
+        self._kf_close_counts = None
 
     # ------------------------------------------------------------------
     def track_stereo_frame(self, frame: Frame, frame_id: int, timestamp: float):
@@ -89,15 +143,22 @@ class Tracking:
             return None
 
         ok = False
+        local_done = False
+        self._kf_close_counts = None
         if not self.only_tracking:
             # normal SLAM mode (Tracking.cc:317-341)
             if self.state == TrackState.OK:
                 if self.velocity is None or frame_id < self.last_reloc_frame_id + 2:
                     ok = self._track_reference_kf(frame)
                 else:
-                    ok = self._track_motion_model(frame)
-                    if not ok:
+                    # hot path: motion model + local map in ONE device program
+                    fused = self._track_fused(frame, frame_id)
+                    if fused is None:
+                        # motion tracking failed -> reference-KF fallback
                         ok = self._track_reference_kf(frame)
+                    else:
+                        ok = fused
+                        local_done = True
             else:
                 ok = self._relocalize(frame, frame_id)
         else:
@@ -136,7 +197,7 @@ class Tracking:
                     self.vo_mode = False
                 ok = ok_reloc or ok_mm
 
-        if ok and not (self.only_tracking and self.vo_mode):
+        if ok and not local_done and not (self.only_tracking and self.vo_mode):
             # mbVO means too few map matches to retrieve a local map; skip
             # TrackLocalMap until relocalization succeeds (Tracking.cc:419-426)
             ok = self._track_local_map(frame, frame_id)
@@ -281,8 +342,9 @@ class Tracking:
     def _stereo_initialize(self, frame: Frame, frame_id: int, timestamp: float) -> bool:
         """StereoInitialization (Tracking.cc:530-582): need >= 500 features;
         create a map point for every feature with positive depth."""
-        kp_valid = np.asarray(frame.kp.valid)
-        depth = np.asarray(frame.depth)
+        host = self._frame_host_arrays(frame)
+        kp_valid = host["kp_valid"]
+        depth = host["depth"]
         if kp_valid.sum() < 500 * min(1.0, self.cfg.orb.n_features / 2000.0):
             return False
         R = np.eye(3, dtype=np.float32)
@@ -292,8 +354,8 @@ class Tracking:
         if good.sum() < 100:
             return False
 
-        xy = np.asarray(frame.kp.xy)
-        desc = np.asarray(frame.kp.desc)
+        xy = host["xy"]
+        desc = host["desc"]
         # unproject at identity pose: world == camera
         z = depth[good]
         x = (xy[good, 0] - self.cfg.cx) * z / self.cfg.fx
@@ -306,8 +368,8 @@ class Tracking:
 
         k = self.map.add_keyframe(
             R, t,
-            xy, np.asarray(frame.u_right), depth,
-            np.asarray(frame.kp.octave), np.asarray(frame.kp.angle),
+            xy, host["ur"], depth,
+            host["octave"], host["angle"],
             desc, kp_valid, mp_bind, frame_id, timestamp,
         )
         self.map.update_point_stats(ids)
@@ -588,19 +650,34 @@ class Tracking:
         self._bind_cur = bind
 
     # ------------------------------------------------------------------
-    def _track_local_map(self, frame: Frame, frame_id: int) -> bool:
-        """TrackLocalMap (Tracking.cc:950-994): expand to covisible KFs, match
-        their points, re-optimize, count inliers. Within MaxFrames of a
-        relocalization the acceptance bar is raised (Tracking.cc:983-985)."""
-        bind = self._bind_cur
-        matched_ids = bind[bind >= 0]
-        if len(matched_ids) == 0:
-            return False
-        # local KF set: voters for current matches + best covisibles (<= 80)
+    def _frame_host_arrays(self, frame: Frame):
+        """Host views of a frame's feature data via TWO packed pulls (f32 +
+        descriptor u32) instead of eight separate device->host copies."""
+        if self._fh is not None and self._fh[0] is frame:
+            return self._fh[1]
+        f, desc = self._pack_fn(frame.kp, frame.u_right, frame.depth)
+        f = np.asarray(f)
+        host = {
+            "xy": np.ascontiguousarray(f[:, :2]),
+            "ur": f[:, 2].copy(),
+            "depth": f[:, 3].copy(),
+            "angle": f[:, 4].copy(),
+            "octave": f[:, 5].astype(np.int32),
+            "kp_valid": f[:, 6] > 0,
+            "response": f[:, 7].copy(),
+            "desc": np.asarray(desc),
+        }
+        self._fh = (frame, host)
+        return host
+
+    def _select_local_kfs(self, matched_ids: np.ndarray):
+        """UpdateLocalKeyFrames (Tracking.cc:1200-1283): keyframes voting for
+        the current matches, padded with their best covisibles. Returns
+        (reference_kf, local_kf_list) or None."""
         obs_kf = self.map.mp_obs_kf[matched_ids].reshape(-1)
         obs_kf = obs_kf[obs_kf >= 0]
         if len(obs_kf) == 0:
-            return False
+            return None
         votes = np.bincount(obs_kf, minlength=self.map.kf_capacity)
         voters = np.nonzero(votes)[0]
         order = voters[np.argsort(-votes[voters], kind="stable")]
@@ -611,7 +688,127 @@ class Tracking:
                     break
                 if nb not in local_kfs:
                     local_kfs.append(int(nb))
-        self.ref_kf = int(order[0])
+        return int(order[0]), local_kfs
+
+    def _refresh_snapshot(self, local_kfs):
+        """Device-cached local-map snapshot: re-uploaded only when the local
+        keyframe set or the map content (write epoch) changes — per keyframe
+        cadence, NOT per frame. Three packed uploads."""
+        key = (tuple(int(x) for x in local_kfs), self.map.write_epoch)
+        if key == self._snap_key:
+            return
+        P = self.cfg.tracking.local_points_cap
+        snap = self.map.local_map_snapshot(np.asarray(local_kfs, np.int64), P)
+        geom = np.concatenate(
+            [snap["pos"], snap["normal"],
+             snap["min_dist"][:, None], snap["max_dist"][:, None]],
+            axis=1,
+        ).astype(np.float32)
+        self._snap_dev = (
+            jnp.asarray(geom), jnp.asarray(snap["desc"]), jnp.asarray(snap["valid"])
+        )
+        self._snap_ids = snap["ids"]
+        cap = len(self.map.mp_valid)
+        if self._id2slot is None or len(self._id2slot) != cap:
+            self._id2slot = np.full(cap, -1, np.int32)
+        else:
+            self._id2slot[:] = -1
+        live = snap["ids"] >= 0
+        self._id2slot[snap["ids"][live]] = np.arange(P, dtype=np.int32)[live]
+        self._snap_key = key
+
+    def _track_fused(self, frame: Frame, frame_id: int):
+        """Hot tracking path: TrackWithMotionModel + TrackLocalMap fused into
+        one device dispatch with packed I/O (see track_steps.fused_track_step).
+        Returns None when motion tracking failed (caller falls back to the
+        reference-KF path), else the TrackLocalMap verdict."""
+        lf = self.last_frame_data
+        n = self.cfg.orb.n_features
+        ids = np.where(lf["mp"] >= 0, lf["mp"], -1)
+        live = self.map.resolve_replaced(ids)
+        alive = (live >= 0) & self.map.mp_valid[np.clip(live, 0, None)]
+        lm_ids = np.where(alive, live, -1)
+        matched_ids = lm_ids[lm_ids >= 0]
+        if matched_ids.size == 0:
+            return None
+        sel_res = self._select_local_kfs(matched_ids)
+        if sel_res is None:
+            return None
+        ref_kf, local_kfs = sel_res
+        self._refresh_snapshot(local_kfs)
+
+        geom = np.empty((n, 4), np.float32)
+        geom[:, :3] = self.map.mp_pos[np.clip(live, 0, None)]
+        geom[:, 3] = alive
+        last_slot = np.where(
+            lm_ids >= 0, self._id2slot[np.clip(lm_ids, 0, None)], -1
+        ).astype(np.int32)
+
+        R_l, t_l = self.last_pose
+        T_pred = self.velocity @ _mat(R_l, t_l)
+        pose_pack = np.zeros(16, np.float32)
+        pose_pack[:9] = T_pred[:3, :3].reshape(-1)
+        pose_pack[9:12] = T_pred[:3, 3]
+        pose_pack[12] = self.cfg.tracking.motion_search_radius
+        pose_pack[13] = self.cfg.resolved_depth_th()
+        pose_pack[14] = 20.0
+
+        out_f, out_i = self._fused_fn(
+            self.cam, frame.kp, frame.u_right, frame.depth,
+            lf.kp.desc, lf.kp.octave, lf.kp.angle, lf.kp.valid,
+            jnp.asarray(geom), jnp.asarray(last_slot), jnp.asarray(pose_pack),
+            *self._snap_dev,
+        )
+        f = np.asarray(out_f)
+        nm1, nin1, nin2 = int(f[12]), int(f[13]), int(f[14])
+        if nm1 < 20 or nin1 < self.cfg.tracking.min_inliers_track:
+            return None
+
+        ii = np.asarray(out_i)
+        enc = ii[:n]
+        visible = ii[n:] > 0
+        snap_ids = self._snap_ids
+        bind = np.full(n, -1, np.int64)
+        m1 = (enc >= 0) & (enc < n)
+        bind[m1] = lm_ids[enc[m1]]
+        m2 = enc >= n
+        bind[m2] = snap_ids[enc[m2] - n]
+        self._bind_cur = bind
+        self.ref_kf = ref_kf
+        self.map.increment_visible(snap_ids[visible & (snap_ids >= 0)])
+        self.map.increment_found(bind[bind >= 0])
+        self.n_inliers_last = nin2
+        self._kf_close_counts = (int(f[15]), int(f[16]))
+
+        min_in = self.cfg.tracking.min_inliers_localmap
+        if frame_id < self.last_reloc_frame_id + self.cfg.tracking.max_frames_between_kf:
+            min_in = max(
+                min_in,
+                int(round(self.cfg.tracking.min_inliers_localmap_recent
+                          * self._feature_scale())),
+            )
+        if nin2 < min_in:
+            # keep the motion-only pose (legacy semantics: TrackLocalMap
+            # failure does not revert TrackWithMotionModel's estimate)
+            self.last_pose = (f[18:27].reshape(3, 3).copy(), f[27:30].copy())
+            return False
+        self.last_pose = (f[:9].reshape(3, 3).copy(), f[9:12].copy())
+        return True
+
+    # ------------------------------------------------------------------
+    def _track_local_map(self, frame: Frame, frame_id: int) -> bool:
+        """TrackLocalMap (Tracking.cc:950-994): expand to covisible KFs, match
+        their points, re-optimize, count inliers. Within MaxFrames of a
+        relocalization the acceptance bar is raised (Tracking.cc:983-985)."""
+        bind = self._bind_cur
+        matched_ids = bind[bind >= 0]
+        if len(matched_ids) == 0:
+            return False
+        # local KF set: voters for current matches + best covisibles (<= 80)
+        sel_res = self._select_local_kfs(matched_ids)
+        if sel_res is None:
+            return False
+        self.ref_kf, local_kfs = sel_res
 
         snap = self.map.local_map_snapshot(
             np.asarray(local_kfs, np.int64), self.cfg.tracking.local_points_cap
@@ -692,11 +889,15 @@ class Tracking:
             ((ref_mp >= 0) & self.map.mp_valid[sel] & (self.map.mp_n_obs[sel] >= min_obs)).sum()
         )
 
-        depth = np.asarray(frame.depth)
-        bind = self._bind_cur
-        close = (depth > 0) & (depth < self.cfg.resolved_depth_th())
-        tracked_close = int((close & (bind >= 0)).sum())
-        untracked_close = int((close & (bind < 0)).sum())
+        if self._kf_close_counts is not None:
+            tracked_close, untracked_close = self._kf_close_counts
+        else:
+            host = self._frame_host_arrays(frame)
+            depth = host["depth"]
+            bind = self._bind_cur
+            close = (depth > 0) & (depth < self.cfg.resolved_depth_th())
+            tracked_close = int((close & (bind >= 0)).sum())
+            untracked_close = int((close & (bind < 0)).sum())
         need_close = tracked_close < 100 and untracked_close > 70
 
         frames_since = frame_id - self.last_kf_frame_id
@@ -716,10 +917,11 @@ class Tracking:
         than ThDepth, at least the 100 closest)."""
         R, t = self.last_pose
         bind = self._bind_cur.copy()
-        depth = np.asarray(frame.depth)
-        kp_valid = np.asarray(frame.kp.valid)
-        xy = np.asarray(frame.kp.xy)
-        desc = np.asarray(frame.kp.desc)
+        host = self._frame_host_arrays(frame)
+        depth = host["depth"]
+        kp_valid = host["kp_valid"]
+        xy = host["xy"]
+        desc = host["desc"]
 
         cand = np.nonzero((depth > 0) & (bind < 0) & kp_valid)[0]
         if len(cand):
@@ -744,8 +946,8 @@ class Tracking:
 
         k = self.map.add_keyframe(
             R.astype(np.float32), t.astype(np.float32),
-            xy, np.asarray(frame.u_right), depth,
-            np.asarray(frame.kp.octave), np.asarray(frame.kp.angle),
+            xy, host["ur"], depth,
+            host["octave"], host["angle"],
             desc, kp_valid, bind, frame_id, timestamp,
         )
         new_ids = bind[bind >= 0]
@@ -791,20 +993,19 @@ class Tracking:
         self.last_reloc_frame_id = -(1 << 30)
         self._mono_ref = None
         self._bind_cur = np.full(self.cfg.orb.n_features, -1, np.int64)
+        self._fh = None
+        self._snap_key = None
+        self._snap_dev = None
+        self._snap_ids = None
+        self._kf_close_counts = None
 
     def _stash_last_frame(self, frame: Frame, frame_id: int = -1):
-        self.last_frame_data = {
-            "frame_id": frame_id,
-            "mp": self._bind_cur.copy(),
-            "kp_valid": np.asarray(frame.kp.valid),
-            "desc": np.asarray(frame.kp.desc),
-            "octave": np.asarray(frame.kp.octave),
-            "angle": np.asarray(frame.kp.angle),
-            "xy": np.asarray(frame.kp.xy),
-            "ur": np.asarray(frame.u_right),
-            "depth": np.asarray(frame.depth),
-            "pose": self.last_pose,
-        }
+        host = None
+        if self._fh is not None and self._fh[0] is frame:
+            host = self._fh[1]  # reuse already-pulled views
+        self.last_frame_data = LastFrame(
+            self, frame, frame_id, self._bind_cur.copy(), self.last_pose, host
+        )
 
     # ------------------------------------------------------------------
     def trajectory(self) -> List[Tuple[float, np.ndarray]]:
