@@ -131,6 +131,10 @@ def main():
     gba = getattr(sys_.loop_closer, "gba_iter_times", []) if sys_.loop_closer else []
     gba_ms_iter = 1e3 * float(np.mean(gba[1:])) if len(gba) > 1 else -1.0
 
+    # structured per-frame observability dump (io/metrics.py schema)
+    metrics_path = os.environ.get("BENCH_METRICS", "bench_metrics.ndjson")
+    sys_.save_metrics_ndjson(metrics_path)
+
     print(json.dumps({
         "metric": "e2e_stereo_slam_fps",
         "value": round(e2e_fps, 2),

@@ -14,6 +14,9 @@ Options:
   --publish        NDJSON TCP pub/sub of os2_pose/os2_pointcloud/os2_gm
                    (prints the port; the reference publishes these over ROS)
   --save-map <f>   save the map checkpoint at shutdown (Map.mapfile)
+  --metrics <f>    dump per-frame metrics NDJSON (state, matches, inliers,
+                   ms per stage — io/metrics.py schema)
+  --profile <dir>  capture a jax.profiler trace over the run
 """
 
 import os
@@ -37,12 +40,13 @@ def _setup_outputs(sys_):
     if "--publish" in sys.argv:
         from orb_slam2_2021_tpu.io.pubsub import (
             MessageBus, SystemPublisher, TcpPublisher,
-            TOPIC_POSE, TOPIC_POINTCLOUD, TOPIC_GRID, TOPIC_GRID_POSE,
+            TOPIC_POSE, TOPIC_POINTCLOUD, TOPIC_GRID, TOPIC_GRID_POSE, TOPIC_METRICS,
         )
 
         bus = MessageBus()
         spub = SystemPublisher(sys_, bus)
-        tcp = TcpPublisher(bus, [TOPIC_POSE, TOPIC_POINTCLOUD, TOPIC_GRID, TOPIC_GRID_POSE])
+        tcp = TcpPublisher(bus, [TOPIC_POSE, TOPIC_POINTCLOUD, TOPIC_GRID,
+                                 TOPIC_GRID_POSE, TOPIC_METRICS])
         print(f"publishing NDJSON on 127.0.0.1:{tcp.port}")
     return viewer, spub, tcp
 
@@ -56,8 +60,13 @@ def _per_frame_outputs(viewer, spub, image, ts, i):
             spub.publish_map(ts)
 
 
+def _flag_value(name):
+    return sys.argv[sys.argv.index(name) + 1] if name in sys.argv else None
+
+
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "synthetic"
+    profile_dir = _flag_value("--profile")
 
     from orb_slam2_2021_tpu.config import (
         kitti_stereo_config, synthetic_config, tum_rgbd_config,
@@ -74,7 +83,7 @@ def main():
         cfg = synthetic_config(width=320, height=240)
         world = SyntheticStereoWorld(cfg, seed=3)
         gt = forward_trajectory(n, step=0.12)
-        sys_ = System(cfg)
+        sys_ = System(cfg, profile_dir=profile_dir)
         viewer, spub, tcp = _setup_outputs(sys_)
         for i, (R, t) in enumerate(gt):
             left, right = world.render(R, t)
@@ -97,7 +106,7 @@ def main():
             sys.argv[2], max_frames=500 if "--reduced" in sys.argv else None
         )
         cfg = kitti_stereo_config()
-        sys_ = System(cfg)
+        sys_ = System(cfg, profile_dir=profile_dir)
         viewer, spub, tcp = _setup_outputs(sys_)
         for i, (ts, left, right) in enumerate(seq):
             sys_.track_stereo(left, right, timestamp=ts)
@@ -115,7 +124,7 @@ def main():
             if p in sys.argv[2]:
                 preset = p
         cfg = tum_rgbd_config(preset)
-        sys_ = System(cfg)
+        sys_ = System(cfg, profile_dir=profile_dir)
         for ts, rgb, depth in seq:
             sys_.track_rgbd(rgb, depth, timestamp=ts)
         sys_.shutdown()
@@ -128,6 +137,10 @@ def main():
     sys_.save_trajectory_kitti("trajectory_kitti.txt")
     sys_.save_trajectory_tum("trajectory_tum.txt")
     print("saved trajectory_kitti.txt / trajectory_tum.txt")
+    mpath = _flag_value("--metrics")
+    if mpath:
+        n = sys_.save_metrics_ndjson(mpath)
+        print(f"wrote {n} metrics records to {mpath}")
     if "--save-map" in sys.argv:
         path = sys.argv[sys.argv.index("--save-map") + 1]
         sys_.save_map(path)

@@ -27,6 +27,7 @@ TOPIC_POINTCLOUD = "os2_pointcloud"
 TOPIC_GRID = "os2_gm"
 TOPIC_GRID_POSE = "os2_gm_pose"
 TOPIC_SCAN = "os2_scan"
+TOPIC_METRICS = "os2_metrics"
 
 
 class MessageBus:
@@ -185,6 +186,9 @@ class SystemPublisher:
             Twc[:3, :3] = np.asarray(R).T
             Twc[:3, 3] = -np.asarray(R).T @ np.asarray(t)
             self.bus.publish(TOPIC_POSE, {"t": timestamp, "Twc": Twc})
+        if sys_.metrics:
+            # structured per-frame observability (io/metrics.py schema)
+            self.bus.publish(TOPIC_METRICS, sys_.metrics[-1])
 
     def publish_map(self, timestamp: float):
         sys_ = self.system

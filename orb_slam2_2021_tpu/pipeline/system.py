@@ -37,6 +37,7 @@ class System:
         sensor: str = "stereo",
         async_mode: bool = False,
         mesh=None,
+        profile_dir: Optional[str] = None,
     ):
         """Boot the engine (System::System, System.cc:37-165): load the
         vocabulary, create the map + keyframe database, wire the pipeline
@@ -75,8 +76,13 @@ class System:
         self.grid_mapper = GridMapper(cfg, self.map) if enable_mapping else None
         self._frame_fn = make_stereo_frame_fn(cfg)
         self.frame_times: List[float] = []
+        self.metrics: List[dict] = []  # per-frame records (io/metrics.py schema)
         self._frame_id = 0
         self._reset_requested = False
+        # jax.profiler trace behind a flag (SURVEY.md §5 tracing entry):
+        # started lazily at the first frame, stopped in shutdown()
+        self._profile_dir = profile_dir
+        self._profiling = False
         # reset-on-early-loss (Tracking.cc:493-501) requests a system reset
         self.tracker.request_system_reset = self.reset
 
@@ -140,19 +146,43 @@ class System:
                 self.loop_closer.loop_closed_flag = False
             self.grid_mapper.process_new(loop_closed)
 
+    def _pre_frame(self):
+        self._maybe_reset()
+        if self._profile_dir is not None and not self._profiling:
+            jax.profiler.start_trace(self._profile_dir)
+            self._profiling = True
+
+    def _collect_metrics(self, timestamp, t0, t_extract, t_track, t_end):
+        """Merge the tracker's per-frame record with stage wall-clock times
+        (ms) into one METRICS_SCHEMA record (io/metrics.py)."""
+        rec = self.tracker.last_metrics
+        if rec is None:
+            return
+        rec = dict(rec)
+        rec["timestamp"] = float(timestamp)
+        rec["ms_extract"] = 1e3 * (t_extract - t0)
+        rec["ms_track"] = 1e3 * (t_track - t_extract)
+        rec["ms_mapping"] = 1e3 * (t_end - t_track)
+        rec["ms_total"] = 1e3 * (t_end - t0)
+        self.metrics.append(rec)
+
     # ------------------------------------------------------------------
     def track_stereo(self, image_left, image_right, timestamp: float):
         """Per-frame stereo entry (System::TrackStereo, System.cc:167-216).
 
         Returns Tcw as (R, t) numpy arrays, or None while initializing/lost.
         """
-        self._maybe_reset()
+        self._pre_frame()
         t0 = time.perf_counter()
         frame = self._frame_fn(jnp.asarray(image_left, jnp.float32), jnp.asarray(image_right, jnp.float32))
+        t1 = time.perf_counter()
         with self.map.lock:
             pose = self.tracker.track_stereo_frame(frame, self._frame_id, timestamp)
+        t2 = time.perf_counter()
         self._post_track()
-        self.frame_times.append(time.perf_counter() - t0)
+        t3 = time.perf_counter()
+        self.frame_times.append(t3 - t0)
+        self._collect_metrics(timestamp, t0, t1, t2, t3)
         self._frame_id += 1
         return pose
 
@@ -161,15 +191,19 @@ class System:
         import functools as _ft
         from ..frontend.frame import build_mono_frame
 
-        self._maybe_reset()
+        self._pre_frame()
         t0 = time.perf_counter()
         if not hasattr(self, "_mono_fn"):
             self._mono_fn = jax.jit(_ft.partial(build_mono_frame, cfg=self.cfg))
         frame = self._mono_fn(jnp.asarray(image, jnp.float32))
+        t1 = time.perf_counter()
         with self.map.lock:
             pose = self.tracker.track_mono_frame(frame, self._frame_id, timestamp)
+        t2 = time.perf_counter()
         self._post_track()
-        self.frame_times.append(time.perf_counter() - t0)
+        t3 = time.perf_counter()
+        self.frame_times.append(t3 - t0)
+        self._collect_metrics(timestamp, t0, t1, t2, t3)
         self._frame_id += 1
         return pose
 
@@ -178,7 +212,7 @@ class System:
         import functools as _ft
         from ..frontend.frame import build_rgbd_frame
 
-        self._maybe_reset()
+        self._pre_frame()
         t0 = time.perf_counter()
         if not hasattr(self, "_rgbd_fn"):
             # DepthMapFactor semantics (Tracking.cc:147-153): raw depth maps
@@ -189,10 +223,14 @@ class System:
                 _ft.partial(build_rgbd_frame, cfg=self.cfg, depth_scale=scale)
             )
         frame = self._rgbd_fn(jnp.asarray(image, jnp.float32), jnp.asarray(depth_map, jnp.float32))
+        t1 = time.perf_counter()
         with self.map.lock:
             pose = self.tracker.track_stereo_frame(frame, self._frame_id, timestamp)
+        t2 = time.perf_counter()
         self._post_track()
-        self.frame_times.append(time.perf_counter() - t0)
+        t3 = time.perf_counter()
+        self.frame_times.append(t3 - t0)
+        self._collect_metrics(timestamp, t0, t1, t2, t3)
         self._frame_id += 1
         return pose
 
@@ -310,3 +348,13 @@ class System:
             self.local_mapper.finish()
         if self.grid_mapper is not None:
             self._post_track()
+        if self._profiling:
+            jax.profiler.stop_trace()
+            self._profiling = False
+
+    def save_metrics_ndjson(self, path: str) -> int:
+        """Dump the per-frame metrics records (io/metrics.py schema) as
+        NDJSON; returns the record count."""
+        from ..io.metrics import write_ndjson
+
+        return write_ndjson(path, self.metrics)

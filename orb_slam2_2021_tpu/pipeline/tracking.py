@@ -108,6 +108,7 @@ class Tracking:
         self.last_reloc_frame_id = -(1 << 30)  # mnLastRelocFrameId
         self.request_system_reset = None  # set by System: reset-on-early-loss
         self.sensor = "stereo"      # "stereo" | "rgbd" | "mono"
+        self.last_metrics: Optional[dict] = None  # per-frame observability
         self._mono_ref = None       # reference frame data for mono init
 
         self._motion_fn = make_motion_track_fn(cfg)
@@ -126,6 +127,8 @@ class Tracking:
         # (tracked_close, untracked_close) computed on device by the fused
         # step; None on frames that took a slow path
         self._kf_close_counts = None
+        # current frame's slot -> map-point-id bindings (-1 = unbound)
+        self._bind_cur = np.full(cfg.orb.n_features, -1, np.int64)
 
     # ------------------------------------------------------------------
     def track_stereo_frame(self, frame: Frame, frame_id: int, timestamp: float):
@@ -135,13 +138,13 @@ class Tracking:
         while not initialized / lost.
         """
         if self.state in (TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED):
+            n_kf0 = self.map.n_kf
             ok = self._stereo_initialize(frame, frame_id, timestamp)
-            if ok:
-                self.state = TrackState.OK
-                return self.last_pose
-            self.state = TrackState.NOT_INITIALIZED
-            return None
+            self.state = TrackState.OK if ok else TrackState.NOT_INITIALIZED
+            self._set_metrics(frame_id, timestamp, self.map.n_kf > n_kf0)
+            return self.last_pose if ok else None
 
+        n_kf0 = self.map.n_kf
         ok = False
         local_done = False
         self._kf_close_counts = None
@@ -215,10 +218,12 @@ class Tracking:
             if (not self.only_tracking and self.map.n_kf <= 5
                     and self.request_system_reset is not None):
                 self.request_system_reset()
+                self._set_metrics(frame_id, timestamp, False)
                 return None
 
         self._record_frame(frame_id, timestamp, lost=not ok)
         self._stash_last_frame(frame, frame_id)
+        self._set_metrics(frame_id, timestamp, self.map.n_kf > n_kf0)
         return self.last_pose if ok else None
 
     # ------------------------------------------------------------------
@@ -226,8 +231,10 @@ class Tracking:
         """Monocular per-frame entry (GrabImageMonocular -> Track)."""
         self.sensor = "mono"
         if self.state in (TrackState.NO_IMAGES_YET, TrackState.NOT_INITIALIZED):
+            n_kf0 = self.map.n_kf
             ok = self._mono_initialize(frame, frame_id, timestamp)
             self.state = TrackState.OK if ok else TrackState.NOT_INITIALIZED
+            self._set_metrics(frame_id, timestamp, self.map.n_kf > n_kf0)
             return self.last_pose if ok else None
         return self.track_stereo_frame(frame, frame_id, timestamp)
 
@@ -967,6 +974,20 @@ class Tracking:
         return np.asarray(self.place.transform(frame.kp.desc, frame.kp.valid))
 
     # ------------------------------------------------------------------
+    def _set_metrics(self, frame_id: int, timestamp: float, kf_created: bool):
+        """Per-frame observability record (SURVEY.md §5 metrics entry; the
+        reference only std::cout-prints). System merges in stage timings."""
+        self.last_metrics = {
+            "frame_id": int(frame_id),
+            "timestamp": float(timestamp),
+            "state": self.state.name,
+            "n_matches": int((self._bind_cur >= 0).sum()),
+            "n_inliers": int(self.n_inliers_last),
+            "keyframe": bool(kf_created),
+            "n_keyframes": int(self.map.n_kf),
+            "n_map_points": int(self.map.mp_valid.sum()),
+        }
+
     def _record_frame(self, frame_id: int, timestamp: float, lost: bool):
         if self.last_pose is None or self.ref_kf < 0:
             return
