@@ -38,4 +38,11 @@ class PlaceRecognition:
 
     @staticmethod
     def from_file(path: str) -> "PlaceRecognition":
+        """Suffix-dispatched like the reference (System.cc:84-98): `.txt`
+        loads a DBoW2 text vocabulary (a real ORBvoc.txt drops in), anything
+        else the native npz checkpoint."""
+        if path.endswith(".txt"):
+            from .vocab import load_orbvoc_text
+
+            return PlaceRecognition(load_orbvoc_text(path))
         return PlaceRecognition(BinaryVocabulary.load(path))

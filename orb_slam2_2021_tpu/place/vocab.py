@@ -147,6 +147,88 @@ def train_vocabulary(descs: np.ndarray, k: int = 10, L: int = 4, seed: int = 0) 
 
 
 # ----------------------------------------------------------------------
+# DBoW2 text format (ORBvoc.txt) interop
+# ----------------------------------------------------------------------
+def save_orbvoc_text(voc: BinaryVocabulary, path: str):
+    """Write the vocabulary in DBoW2's text format
+    (TemplatedVocabulary::saveToTextFile, TemplatedVocabulary.h:1441-1463):
+    header `k L scoring weighting`, then one line per node (file order =
+    breadth-first, root omitted): `parent is_leaf b0..b31 weight`."""
+    first_leaf = (voc.k ** voc.L - 1) // (voc.k - 1)
+    with open(path, "w") as f:
+        f.write(f"{voc.k} {voc.L} 0 0\n")  # L1_NORM scoring, TF_IDF weighting
+        for nid in range(1, voc.n_nodes()):
+            parent = (nid - 1) // voc.k
+            is_leaf = 1 if nid >= first_leaf else 0
+            by = voc.node_desc[nid].view(np.uint8)
+            w = float(voc.word_idf[nid - first_leaf]) if is_leaf else 0.0
+            f.write(f"{parent} {is_leaf} " + " ".join(str(int(b)) for b in by)
+                    + f" {w}\n")
+
+
+def load_orbvoc_text(path: str) -> BinaryVocabulary:
+    """Load a DBoW2 text vocabulary (ORBvoc.txt format,
+    TemplatedVocabulary::loadFromTextFile, TemplatedVocabulary.h:1351-1436)
+    into the implicit complete-tree layout this engine descends on device.
+
+    DBoW2 trees can be incomplete (clusters smaller than k stop early); the
+    complete layout absorbs that with first-tie argmin semantics: missing
+    children are padded with a copy of the first real sibling, and an early
+    leaf is replicated straight down — identical candidate descriptors tie,
+    argmin picks the lowest index, so every padded slot is unreachable and
+    each DBoW2 word maps to exactly one depth-L leaf slot."""
+    with open(path) as f:
+        header = f.readline().split()
+        k, L = int(header[0]), int(header[1])
+        scoring, weighting = int(header[2]), int(header[3])
+        if not (2 <= k <= 20 and 1 <= L <= 10 and 0 <= scoring <= 5
+                and 0 <= weighting <= 3):
+            raise ValueError(f"not a DBoW2 text vocabulary: header {header}")
+        parents, leaf_flags, desc_rows, weights = [], [], [], []
+        for line in f:
+            parts = line.split()
+            if len(parts) < 35:
+                continue
+            parents.append(int(parts[0]))
+            leaf_flags.append(int(parts[1]) > 0)
+            desc_rows.append([int(x) for x in parts[2:34]])
+            weights.append(float(parts[34]))
+
+    n_file = len(parents) + 1  # + root (node 0, no line)
+    file_desc = np.zeros((n_file, 8), np.uint32)
+    file_desc[1:] = np.asarray(desc_rows, np.uint8).view(np.uint32)
+    children: list = [[] for _ in range(n_file)]
+    for i, p in enumerate(parents):
+        children[p].append(i + 1)
+
+    n_nodes = (k ** (L + 1) - 1) // (k - 1)
+    first_leaf = (k ** L - 1) // (k - 1)
+    node_desc = np.zeros((n_nodes, 8), np.uint32)
+    word_idf = np.zeros(k ** L, np.float32)
+
+    # BFS: (slot, file_node, depth). file_node == -1 replays an early leaf.
+    stack = [(0, 0, 0)]
+    while stack:
+        slot, fnode, depth = stack.pop()
+        if depth == L:
+            word_idf[slot - first_leaf] = weights[fnode - 1] if fnode > 0 else 0.0
+            continue
+        ch0 = slot * k + 1
+        cs = children[fnode]
+        if not cs:  # early leaf: replicate itself down one level
+            node_desc[ch0 : ch0 + k] = file_desc[fnode]
+            stack.append((ch0, fnode, depth + 1))
+            continue
+        for j in range(k):
+            src = cs[j] if j < len(cs) else cs[0]  # pad = copy of first child
+            node_desc[ch0 + j] = file_desc[src]
+        for j, c in enumerate(cs):
+            stack.append((ch0 + j, c, depth + 1))
+
+    return BinaryVocabulary(k, L, node_desc, word_idf)
+
+
+# ----------------------------------------------------------------------
 # device-side descent
 # ----------------------------------------------------------------------
 def vocab_transform(tree, descs, valid, k: int, L: int):

@@ -91,3 +91,95 @@ class TestKFDatabase:
         db.erase(0)
         cands = db.detect_loop_candidates(1, 0.0, set(), lambda x: [])
         assert 0 not in cands
+
+
+class TestOrbvocTextFormat:
+    """DBoW2 ORBvoc.txt interop (TemplatedVocabulary.h:1351-1463)."""
+
+    def test_round_trip_complete_tree(self, small_voc, rng, tmp_path):
+        from orb_slam2_2021_tpu.place.vocab import load_orbvoc_text, save_orbvoc_text
+
+        path = str(tmp_path / "voc.txt")
+        save_orbvoc_text(small_voc, path)
+        back = load_orbvoc_text(path)
+        assert (back.k, back.L) == (small_voc.k, small_voc.L)
+        np.testing.assert_array_equal(back.node_desc, small_voc.node_desc)
+        np.testing.assert_allclose(back.word_idf, small_voc.word_idf, rtol=1e-5)
+        descs = rng.integers(0, 2**32, (300, 8), dtype=np.uint32)
+        np.testing.assert_array_equal(back.transform_np(descs),
+                                      small_voc.transform_np(descs))
+
+    def test_incomplete_tree(self, rng, tmp_path):
+        """DBoW2 trees may stop early (cluster < k): nodes with fewer than k
+        children and leaves above depth L must load and descend
+        deterministically, with each word on exactly one leaf slot."""
+        from orb_slam2_2021_tpu.place.vocab import load_orbvoc_text
+
+        # hand-built k=3, L=2 tree: root has 3 children; child A has 3 leaf
+        # children, child B only 2, child C is itself an early leaf.
+        # Descriptors are clustered (A≈0x00, B≈0x55, C≈0xFF with leaves a
+        # couple of bits off their parent) so greedy descent of each leaf
+        # descriptor provably reaches that leaf.
+        k = 3
+        lines = [f"{k} 2 0 0"]
+        descs = np.zeros((9, 32), np.int64)
+        descs[0, :] = 0x00                      # A
+        descs[1, :] = 0x55                      # B
+        descs[2, :] = 0xFF                      # C
+        for i in range(3):                      # A's leaves
+            descs[3 + i] = descs[0]
+            descs[3 + i, 0] = i + 1
+        for i in range(2):                      # B's leaves
+            descs[6 + i] = descs[1]
+            descs[6 + i, 0] = 0x54 + 3 * i
+
+        def node(parent, leaf, d, w):
+            return f"{parent} {int(leaf)} " + " ".join(map(str, d)) + f" {w}"
+
+        lines.append(node(0, 0, descs[0], 0))       # node 1 = A
+        lines.append(node(0, 0, descs[1], 0))       # node 2 = B
+        lines.append(node(0, 1, descs[2], 0.7))     # node 3 = C (early leaf)
+        for i in range(3):                          # A's leaves: nodes 4-6
+            lines.append(node(1, 1, descs[3 + i], 0.1 * (i + 1)))
+        for i in range(2):                          # B's leaves: nodes 7-8
+            lines.append(node(2, 1, descs[6 + i], 0.5 + 0.1 * i))
+        path = str(tmp_path / "incomplete.txt")
+        with open(path, "w") as f:
+            f.write("\n".join(lines) + "\n")
+
+        voc = load_orbvoc_text(path)
+        assert voc.k == 3 and voc.L == 2
+
+        # each real leaf descriptor must land on a distinct word with its
+        # own idf weight
+        leaf_descs = np.asarray(descs[3:8], np.uint8).reshape(5, 32).view(np.uint32)
+        c_desc = np.asarray(descs[2], np.uint8).reshape(1, 32).view(np.uint32)
+        words = voc.transform_np(np.vstack([leaf_descs, c_desc]))
+        assert len(set(words.tolist())) == 6
+        np.testing.assert_allclose(
+            voc.word_idf[words],
+            [0.1, 0.2, 0.3, 0.5, 0.6, 0.7], rtol=1e-5)
+
+        # device descent agrees with numpy on random queries
+        q = rng.integers(0, 2**32, (64, 8), dtype=np.uint32)
+        fn = make_transform_fn(voc.k, voc.L)
+        w_dev = np.asarray(fn(jnp.asarray(voc.node_desc), jnp.asarray(q),
+                              jnp.ones(64, bool)))
+        np.testing.assert_array_equal(w_dev, voc.transform_np(q))
+
+    def test_from_file_txt_dispatch(self, small_voc, tmp_path):
+        from orb_slam2_2021_tpu.place.vocab import save_orbvoc_text
+
+        path = str(tmp_path / "voc.txt")
+        save_orbvoc_text(small_voc, path)
+        pr = PlaceRecognition.from_file(path)
+        assert pr.voc.n_words == small_voc.n_words
+
+    def test_rejects_garbage(self, tmp_path):
+        from orb_slam2_2021_tpu.place.vocab import load_orbvoc_text
+
+        path = str(tmp_path / "bad.txt")
+        with open(path, "w") as f:
+            f.write("999 99 9 9\n")
+        with pytest.raises(ValueError):
+            load_orbvoc_text(path)
