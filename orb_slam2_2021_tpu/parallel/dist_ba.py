@@ -100,7 +100,10 @@ def shard_ba_problem(prob: BAProblem, n_dev: int) -> BAProblem:
 def make_dist_ba(cfg: OptimConfig, mesh: Mesh, iters1=None, iters2=None):
     """Build the shard_map-wrapped distributed BA step for a mesh with axis
     'map'. Call with a problem prepared by shard_ba_problem."""
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
 
     iters1 = cfg.local_ba_iters1 if iters1 is None else iters1
     iters2 = cfg.local_ba_iters2 if iters2 is None else iters2
@@ -142,7 +145,10 @@ def make_dist_gba_iteration(cfg: OptimConfig, mesh: Mesh, cam):
     staleness protocol (mbStopGBA, LoopClosing.cc:604-608) works unchanged in
     the multi-chip configuration. `cam` (python-float PinholeCamera) is
     closed over. Call with a problem prepared by shard_ba_problem."""
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
 
     from ..optim.ba import _residual_jacobians, _total_cost
     from ..optim.ba_cg import _cg_lm_step

@@ -44,6 +44,8 @@ def main():
 
     for name in (
         "_track_motion_model", "_track_reference_kf", "_track_local_map",
+        "_track_fused", "_run_motion_step", "_frame_host_arrays",
+        "_refresh_snapshot", "_select_local_kfs", "_apply_matches",
         "_need_new_keyframe", "_create_new_keyframe", "_stash_last_frame",
         "_last_landmark_arrays", "_compute_words",
     ):
