@@ -31,6 +31,28 @@ from ..optim.ba import BAProblem, ba_solve
 AXIS = "map"
 
 
+def _shard_map(f, *, mesh, in_specs, out_specs):
+    """Version-portable shard_map with replication checking disabled.
+
+    The local functions psum camera-side reductions explicitly, so outputs
+    marked replicated really are — but the checker cannot always prove it.
+    JAX renamed the opt-out kwarg check_rep -> check_vma (0.9); try each and
+    fall back to no kwarg at all.
+    """
+    try:
+        from jax import shard_map
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
+    for kw in ({"check_vma": False}, {"check_rep": False}, {}):
+        try:
+            return shard_map(
+                f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, **kw
+            )
+        except TypeError:
+            continue
+    raise RuntimeError("no compatible shard_map signature found")
+
+
 def shard_ba_problem(prob: BAProblem, n_dev: int) -> BAProblem:
     """Re-pad a host-assembled BAProblem so P and O divide n_dev and each
     point's observations live in the same shard as the point.
@@ -100,11 +122,6 @@ def shard_ba_problem(prob: BAProblem, n_dev: int) -> BAProblem:
 def make_dist_ba(cfg: OptimConfig, mesh: Mesh, iters1=None, iters2=None):
     """Build the shard_map-wrapped distributed BA step for a mesh with axis
     'map'. Call with a problem prepared by shard_ba_problem."""
-    try:
-        from jax import shard_map
-    except ImportError:  # older jax
-        from jax.experimental.shard_map import shard_map
-
     iters1 = cfg.local_ba_iters1 if iters1 is None else iters1
     iters2 = cfg.local_ba_iters2 if iters2 is None else iters2
 
@@ -128,12 +145,11 @@ def make_dist_ba(cfg: OptimConfig, mesh: Mesh, iters1=None, iters2=None):
         obs_inv_sigma2=P(AXIS), obs_valid=P(AXIS),
         pt_obs=P(AXIS), cam_free=P(),
     )
-    fn = shard_map(
+    fn = _shard_map(
         local_fn,
         mesh=mesh,
         in_specs=(P(), pspec),
         out_specs=(P(), P(), P(AXIS), P(AXIS)),
-        check_rep=False,
     )
     return jax.jit(fn)
 
@@ -145,11 +161,6 @@ def make_dist_gba_iteration(cfg: OptimConfig, mesh: Mesh, cam):
     staleness protocol (mbStopGBA, LoopClosing.cc:604-608) works unchanged in
     the multi-chip configuration. `cam` (python-float PinholeCamera) is
     closed over. Call with a problem prepared by shard_ba_problem."""
-    try:
-        from jax import shard_map
-    except ImportError:  # older jax
-        from jax.experimental.shard_map import shard_map
-
     from ..optim.ba import _residual_jacobians, _total_cost
     from ..optim.ba_cg import _cg_lm_step
 
@@ -181,11 +192,10 @@ def make_dist_gba_iteration(cfg: OptimConfig, mesh: Mesh, cam):
         obs_inv_sigma2=P(AXIS), obs_valid=P(AXIS),
         pt_obs=P(AXIS), cam_free=P(),
     )
-    fn = shard_map(
+    fn = _shard_map(
         local_step,
         mesh=mesh,
         in_specs=(pspec, P(), P(), P(AXIS), P(), P(AXIS), P()),
         out_specs=(P(), P(), P(AXIS), P(), P()),
-        check_rep=False,
     )
     return jax.jit(fn)

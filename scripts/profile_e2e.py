@@ -8,9 +8,13 @@ weak #5: nobody has measured host vs device time per KF).
 
 import collections
 import functools
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
