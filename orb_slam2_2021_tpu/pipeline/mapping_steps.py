@@ -145,12 +145,36 @@ def triangulate_pair(cam: PinholeCamera, kf1: KFView, kf2: KFView, cfg: SlamConf
         ],
         axis=1,
     )  # [N,4,4]
-    # null vector via eigendecomposition of A^T A (stable, batched)
-    AtA = jnp.einsum("nij,nik->njk", A, A, precision=HIGHEST)
-    _, eigvecs = jnp.linalg.eigh(AtA)
-    x_h = eigvecs[:, :, 0]  # smallest eigenvalue
-    w_ok = jnp.abs(x_h[:, 3]) > 1e-9
-    x_dlt = x_h[:, :3] / jnp.where(w_ok, x_h[:, 3], 1.0)[:, None]
+    # Linear triangulation with the w=1 gauge: min ||B x + c||^2 over the
+    # inhomogeneous coordinates, solved in closed form via the 3x3 normal
+    # equations (adjugate inverse — pure elementwise VPU work). The reference
+    # takes the full SVD null vector (LocalMapping.cc:326-343); the only
+    # configurations where the two differ materially are points near
+    # infinity (w ~ 0), which the cheirality/reprojection gates below cull
+    # either way. Batched eigh/SVD on TPU costs ~70 ms per KF dispatch; this
+    # form is ~free.
+    B = A[:, :, :3]                      # [N,4,3]
+    cvec = A[:, :, 3]                    # [N,4]
+    M = jnp.einsum("nij,nik->njk", B, B, precision=HIGHEST)   # [N,3,3] sym
+    rhs = -jnp.einsum("nij,ni->nj", B, cvec, precision=HIGHEST)
+    c00 = M[:, 1, 1] * M[:, 2, 2] - M[:, 1, 2] * M[:, 2, 1]
+    c01 = M[:, 0, 2] * M[:, 2, 1] - M[:, 0, 1] * M[:, 2, 2]
+    c02 = M[:, 0, 1] * M[:, 1, 2] - M[:, 0, 2] * M[:, 1, 1]
+    c11 = M[:, 0, 0] * M[:, 2, 2] - M[:, 0, 2] * M[:, 2, 0]
+    c12 = M[:, 0, 2] * M[:, 1, 0] - M[:, 0, 0] * M[:, 1, 2]
+    c22 = M[:, 0, 0] * M[:, 1, 1] - M[:, 0, 1] * M[:, 1, 0]
+    det = M[:, 0, 0] * c00 + M[:, 0, 1] * c01 + M[:, 0, 2] * c02
+    w_ok = jnp.abs(det) > 1e-12
+    inv_det = 1.0 / jnp.where(w_ok, det, 1.0)
+    # M symmetric -> cofactor matrix symmetric -> inverse = C / det
+    x_dlt = jnp.stack(
+        [
+            c00 * rhs[:, 0] + c01 * rhs[:, 1] + c02 * rhs[:, 2],
+            c01 * rhs[:, 0] + c11 * rhs[:, 1] + c12 * rhs[:, 2],
+            c02 * rhs[:, 0] + c12 * rhs[:, 1] + c22 * rhs[:, 2],
+        ],
+        axis=1,
+    ) * inv_det[:, None]
 
     use_dlt = (cos_rays < cos_stereo) & (cos_rays > 0) & (cos_rays < 0.9998) & w_ok
     # low-parallax fallback: unproject stereo depth (LocalMapping.cc:345-353)

@@ -71,6 +71,10 @@ class System:
             self.loop_closer.mesh = mesh
         self.tracker = Tracking(cfg, self.map, self.local_mapper, self.place)
         self.tracker.sensor = sensor
+        if self.place is not None:
+            # culled KFs leave the retrieval index (KeyFrame::SetBadFlag ->
+            # KeyFrameDatabase::erase, KeyFrame.cc:561, KeyFrameDatabase.cc:49)
+            self.map.on_kf_erased = self.place.kfdb.erase
         from ..gridmap.grid import GridMapper
 
         self.grid_mapper = GridMapper(cfg, self.map) if enable_mapping else None
@@ -92,6 +96,10 @@ class System:
             import threading
 
             self.local_mapper.async_mode = True
+            # the worker owns grid upkeep in async mode (the reference's
+            # GridMapping thread, GridMapping.cpp:21-70) — the tracking lane
+            # must not pay for raycasts
+            self.local_mapper.grid_mapper = self.grid_mapper
             if self.loop_closer is not None:
                 self.loop_closer.async_mode = True
             self._worker = threading.Thread(
@@ -129,14 +137,8 @@ class System:
         """Mapping/grid work after a tracked frame: inline when synchronous,
         no-op in async mode (the worker owns it)."""
         if self.async_mode:
-            # grid mapping still follows the map from this thread (the
-            # reference's GridMapping thread polls at 10 Hz, GridMapping.cpp:21)
-            if self.grid_mapper is not None:
-                with self.map.lock:
-                    loop_closed = bool(self.loop_closer and self.loop_closer.loop_closed_flag)
-                    if loop_closed:
-                        self.loop_closer.loop_closed_flag = False
-                    self.grid_mapper.process_new(loop_closed)
+            # grid mapping runs on the mapping worker (LocalMapping._process
+            # tail) — nothing to do on the tracking lane
             return
         if self.local_mapper is not None:
             self.local_mapper.process_pending()

@@ -210,6 +210,43 @@ def fused_track_step(
     return out_f, out_i
 
 
+def fused_track_step_packed(
+    cam: PinholeCamera,
+    kp: Keypoints,
+    feat_ur,
+    depth,
+    last_desc, last_octave, last_angle, last_kp_valid,
+    host_pack,      # [N*5 + 16] f32: geom(N*4) | last_slot bitcast (N) | pose_pack(16)
+    snap_geom, snap_desc, snap_valid,
+    cfg: SlamConfig,
+):
+    """fused_track_step with ONE packed host upload and ONE packed pull.
+
+    Over the remote-attached TPU tunnel every host->device or device->host
+    transfer costs a full round trip (~15 ms measured); the unpacked fused
+    step paid 3 uploads + 2 pulls = ~74 ms of latency around a 10 ms program.
+    This wrapper bitcasts the int lanes through the f32 upload buffer and the
+    float lanes through the i32 result buffer so the frame costs exactly one
+    of each. Layout documented in _track_fused (tracking.py).
+    """
+    n = kp.capacity
+    last_geom = host_pack[: 4 * n].reshape(n, 4)
+    last_slot = jax.lax.bitcast_convert_type(
+        host_pack[4 * n : 5 * n], jnp.int32
+    )
+    pose_pack = host_pack[5 * n :]
+    out_f, out_i = fused_track_step(
+        cam, kp, feat_ur, depth,
+        last_desc, last_octave, last_angle, last_kp_valid,
+        last_geom, last_slot, pose_pack,
+        snap_geom, snap_desc, snap_valid,
+        cfg,
+    )
+    return jnp.concatenate(
+        [jax.lax.bitcast_convert_type(out_f, jnp.int32), out_i]
+    )
+
+
 def frame_pack_step(kp: Keypoints, feat_ur, depth):
     """Pack per-frame arrays for a SINGLE device->host pull pair (f32 + u32)
     at keyframe creation / initialization — the only times the host needs the
@@ -228,6 +265,11 @@ def frame_pack_step(kp: Keypoints, feat_ur, depth):
 @functools.lru_cache(maxsize=4)
 def make_fused_track_fn(cfg: SlamConfig):
     return jax.jit(functools.partial(fused_track_step, cfg=cfg))
+
+
+@functools.lru_cache(maxsize=4)
+def make_fused_track_packed_fn(cfg: SlamConfig):
+    return jax.jit(functools.partial(fused_track_step_packed, cfg=cfg))
 
 
 @functools.lru_cache(maxsize=4)

@@ -27,7 +27,7 @@ from ..geometry.camera import PinholeCamera
 from ..mapping.map_store import MapStore
 from .track_steps import (
     make_frame_pack_fn,
-    make_fused_track_fn,
+    make_fused_track_packed_fn,
     make_local_track_fn,
     make_motion_track_fn,
 )
@@ -113,7 +113,7 @@ class Tracking:
 
         self._motion_fn = make_motion_track_fn(cfg)
         self._local_fn = make_local_track_fn(cfg)
-        self._fused_fn = make_fused_track_fn(cfg)
+        self._fused_fn = make_fused_track_packed_fn(cfg)
         self._pack_fn = make_frame_pack_fn(cfg)
 
         # single-slot host-view cache for the current frame (2 packed pulls)
@@ -744,36 +744,41 @@ class Tracking:
         ref_kf, local_kfs = sel_res
         self._refresh_snapshot(local_kfs)
 
-        geom = np.empty((n, 4), np.float32)
+        # ONE packed upload: geom(N*4) | last_slot bitcast (N) | pose_pack(16)
+        # (transfer count, not bytes, dominates the tracking lane over the
+        # remote TPU tunnel — see fused_track_step_packed)
+        pack = np.empty(5 * n + 16, np.float32)
+        geom = pack[: 4 * n].reshape(n, 4)
         geom[:, :3] = self.map.mp_pos[np.clip(live, 0, None)]
         geom[:, 3] = alive
-        last_slot = np.where(
+        pack[4 * n : 5 * n] = np.where(
             lm_ids >= 0, self._id2slot[np.clip(lm_ids, 0, None)], -1
-        ).astype(np.int32)
+        ).astype(np.int32).view(np.float32)
 
         R_l, t_l = self.last_pose
         T_pred = self.velocity @ _mat(R_l, t_l)
-        pose_pack = np.zeros(16, np.float32)
+        pose_pack = pack[5 * n :]
+        pose_pack[:] = 0.0
         pose_pack[:9] = T_pred[:3, :3].reshape(-1)
         pose_pack[9:12] = T_pred[:3, 3]
         pose_pack[12] = self.cfg.tracking.motion_search_radius
         pose_pack[13] = self.cfg.resolved_depth_th()
         pose_pack[14] = 20.0
 
-        out_f, out_i = self._fused_fn(
+        out = self._fused_fn(
             self.cam, frame.kp, frame.u_right, frame.depth,
             lf.kp.desc, lf.kp.octave, lf.kp.angle, lf.kp.valid,
-            jnp.asarray(geom), jnp.asarray(last_slot), jnp.asarray(pose_pack),
-            *self._snap_dev,
+            jnp.asarray(pack), *self._snap_dev,
         )
-        f = np.asarray(out_f)
+        # ONE packed pull: out_f bitcast (30) | enc (N) | visible (P)
+        out = np.asarray(out)
+        f = out[:30].view(np.float32)
         nm1, nin1, nin2 = int(f[12]), int(f[13]), int(f[14])
         if nm1 < 20 or nin1 < self.cfg.tracking.min_inliers_track:
             return None
 
-        ii = np.asarray(out_i)
-        enc = ii[:n]
-        visible = ii[n:] > 0
+        enc = out[30 : 30 + n]
+        visible = out[30 + n :] > 0
         snap_ids = self._snap_ids
         bind = np.full(n, -1, np.int64)
         m1 = (enc >= 0) & (enc < n)
@@ -909,14 +914,36 @@ class Tracking:
 
         frames_since = frame_id - self.last_kf_frame_id
         inl = self.n_inliers_last
+
+        # bLocalMappingIdle (Tracking.cc:1014, LocalMapping::AcceptKeyFrames):
+        # in async mode a busy mapping worker vetoes the MinFrames trigger and
+        # gates insertion below; synchronous mapping is always idle (processed
+        # inline), reproducing the reference's steady state
+        lm = self.local_mapper
+        mapping_idle = True
+        queue_len = 0
+        if lm is not None and getattr(lm, "async_mode", False):
+            queue_len = len(lm.queue)
+            mapping_idle = queue_len == 0 and not lm._busy
+
         c1a = frames_since >= self.cfg.tracking.max_frames_between_kf
-        c1b = frames_since >= self.cfg.tracking.min_frames_between_kf  # mapping idle
+        c1b = (frames_since >= self.cfg.tracking.min_frames_between_kf
+               and mapping_idle)
         c1c = (self.sensor != "mono") and (inl < n_ref * 0.25 or need_close)
         th_ratio = 0.75 if n_kf >= 2 else 0.4
         if self.sensor == "mono":
             th_ratio = 0.9  # Tracking.cc:1044
         c2 = (inl < n_ref * th_ratio or need_close) and inl > 15
-        return bool((c1a or c1b or c1c) and c2)
+        if not ((c1a or c1b or c1c) and c2):
+            return False
+        if mapping_idle:
+            return True
+        # mapping busy: interrupt its BA; stereo/RGBD may still insert while
+        # the queue is short (Tracking.cc:1056-1074)
+        lm.abort_ba = True
+        if self.sensor != "mono":
+            return queue_len < 3
+        return False
 
     def _create_new_keyframe(self, frame: Frame, frame_id: int, timestamp: float):
         """CreateNewKeyFrame (Tracking.cc:1082-1162): promote the frame; for
@@ -1031,10 +1058,13 @@ class Tracking:
     # ------------------------------------------------------------------
     def trajectory(self) -> List[Tuple[float, np.ndarray]]:
         """Per-frame (timestamp, Twc [4,4]) resolving reference-KF poses at
-        call time (SaveTrajectoryKITTI semantics, System.cc:473-530)."""
+        call time (SaveTrajectoryKITTI semantics, System.cc:473-530). Culled
+        reference KFs resolve through the stored mTcp chain to a live
+        spanning-tree ancestor (System.cc:510-513), so exported poses follow
+        loop/GBA corrections even when the reference KF is gone."""
         out = []
         for rec in self.records:
-            T_rw = _mat(self.map.kf_R[rec.ref_kf], self.map.kf_t[rec.ref_kf])
+            T_rw = self.map.resolve_kf_pose(rec.ref_kf)
             T_cw = rec.T_cr @ T_rw
             out.append((rec.timestamp, np.linalg.inv(T_cw)))
         return out
