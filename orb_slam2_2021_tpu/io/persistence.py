@@ -43,12 +43,17 @@ def save_map(path: str, m: MapStore, next_frame_id: int = 0):
     for f in _MP_FIELDS:
         arrays[f] = getattr(m, f)[:M]
     children = {str(k): sorted(v) for k, v in m.children.items() if v}
+    # essential-graph loop constraints survive reload (the reference
+    # serializes mspLoopEdges, KeyFrame.cc:695-766)
+    loop_edges = {str(k): sorted(int(x) for x in v)
+                  for k, v in m.loop_edges.items() if v}
     meta = {
         "next_kf": K,
         "next_mp": M,
         "n_kf": m.n_kf,
         "next_frame_id": int(next_frame_id),
         "children": children,
+        "loop_edges": loop_edges,
         "big_change_idx": m.big_change_idx,
     }
     arrays["_meta"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
@@ -82,4 +87,7 @@ def load_map(path: str, cfg: SlamConfig) -> tuple[MapStore, int]:
     m.n_kf = meta["n_kf"]
     m.big_change_idx = meta.get("big_change_idx", 0)
     m.children = {int(k): set(v) for k, v in meta["children"].items()}
+    m.loop_edges = {
+        int(k): set(v) for k, v in meta.get("loop_edges", {}).items()
+    }
     return m, meta["next_frame_id"]

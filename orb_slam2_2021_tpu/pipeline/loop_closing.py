@@ -99,9 +99,12 @@ class LoopClosing:
         self._match_fn = jax.jit(match_bruteforce_desc)
         self._key = jax.random.PRNGKey(cfg.orb.n_features)
 
-        # sparsified relative-pose bookkeeping for essential-graph edges:
-        # spanning tree + loop edges use poses at correction time
-        self.loop_edges: Dict[int, Set[int]] = {}
+    @property
+    def loop_edges(self) -> Dict[int, Set[int]]:
+        """Essential-graph loop constraints (mspLoopEdges, KeyFrame.h). Live
+        on the MapStore so persistence round-trips them (KeyFrame.cc:695-766
+        serializes them in the reference)."""
+        return self.map.loop_edges
 
     # ------------------------------------------------------------------
     def request_reset(self):
@@ -115,7 +118,7 @@ class LoopClosing:
         self.stop_gba = False
         self.last_loop_kf = -int(1e9)
         self.consistent_groups = []
-        self.loop_edges = {}
+        self.map.loop_edges.clear()
         self.loop_closed_flag = False
 
     def insert_keyframe(self, k: int, words=None):

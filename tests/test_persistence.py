@@ -64,3 +64,31 @@ def test_save_load_relocalize(tmp_path):
     # and with ground truth within map drift + reloc error
     assert np.linalg.norm(c - np.asarray(gt[8][1])) < 0.45
     assert sys2.tracker.state == TrackState.OK
+
+
+def test_loop_edges_survive_save_load(tmp_path):
+    """Essential-graph loop constraints round-trip (the reference serializes
+    mspLoopEdges, KeyFrame.cc:695-766)."""
+    from orb_slam2_2021_tpu.config import synthetic_config
+    from orb_slam2_2021_tpu.io.persistence import load_map, save_map
+    from orb_slam2_2021_tpu.mapping.map_store import MapStore
+
+    cfg = synthetic_config(width=64, height=48)
+    m = MapStore(cfg)
+    N = cfg.orb.n_features
+    rng = np.random.default_rng(0)
+    for k in range(4):
+        neg = np.full(N, -1.0, np.float32)
+        m.add_keyframe(
+            np.eye(3, dtype=np.float32),
+            np.array([0.1 * k, 0, 0], np.float32),
+            rng.uniform(0, 40, (N, 2)).astype(np.float32), neg, neg,
+            np.zeros(N, np.int32), np.zeros(N, np.float32),
+            rng.integers(0, 2**32, (N, 8), dtype=np.uint32),
+            np.ones(N, bool), np.full(N, -1, np.int64),
+        )
+    m.loop_edges = {0: {3}, 3: {0}}
+    path = str(tmp_path / "map.npz")
+    save_map(path, m)
+    m2, _ = load_map(path, cfg)
+    assert m2.loop_edges == {0: {3}, 3: {0}}

@@ -95,6 +95,65 @@ class TestPnP:
         np.testing.assert_allclose(np.asarray(Re), R, atol=2e-2)
         np.testing.assert_allclose(np.asarray(te), t, atol=1e-1)
 
+    def test_planar_scene(self, rng):
+        """Coplanar landmarks: the 12x12 DLT null space is rank-deficient and
+        the homography-decomposition hypotheses must carry the solve (the
+        configurations EPnP's N=3 beta case covers, PnPsolver.cc:492-541)."""
+        w = rng.standard_normal(3) * 0.25
+        R = np.asarray(so3_exp(jnp.asarray(w, jnp.float32)))
+        t = np.array([0.3, -0.2, 0.5], np.float32)
+        n = 120
+        # all points on the world plane z = 0.2*x - 0.1*y + 8 (camera frame
+        # construction then back-projection keeps them visible)
+        gx = rng.uniform(-4, 4, n)
+        gy = rng.uniform(-3, 3, n)
+        xw = np.stack([gx, gy, 0.2 * gx - 0.1 * gy + 2.0], 1).astype(np.float32)
+        xc = xw @ R.T + t
+        assert (xc[:, 2] > 0.5).all()
+        uv = np.stack(
+            [FX * xc[:, 0] / xc[:, 2] + CX, FY * xc[:, 1] / xc[:, 2] + CY], 1
+        ).astype(np.float32)
+        uv += rng.standard_normal(uv.shape).astype(np.float32) * 0.2
+        bad = rng.choice(n, 25, replace=False)
+        uv[bad] += rng.uniform(20, 60, (25, 2)).astype(np.float32)
+
+        fn = make_pnp_ransac(256)
+        Re, te, inl, n_in = fn(
+            jax.random.PRNGKey(3), jnp.asarray(xw), jnp.asarray(uv),
+            jnp.ones(n), jnp.ones(n, bool), FX, FY, CX, CY,
+        )
+        assert int(n_in) >= 75, int(n_in)
+        np.testing.assert_allclose(np.asarray(Re), R, atol=3e-2)
+        np.testing.assert_allclose(np.asarray(te), t, atol=1.5e-1)
+
+    def test_refine_tightens_noisy_minimal_fit(self, rng):
+        """The inlier-refine loop (PnPsolver.cc:271-316 semantics) must beat
+        the best raw 6-point hypothesis under pixel noise: disable refine by
+        reconstructing the unrefined result and compare inlier counts."""
+        from orb_slam2_2021_tpu.solvers.epnp import epnp_ransac
+        import functools as _ft
+
+        w = rng.standard_normal(3) * 0.2
+        R = np.asarray(so3_exp(jnp.asarray(w, jnp.float32)))
+        t = rng.standard_normal(3).astype(np.float32)
+        n = 150
+        xc = np.stack([rng.uniform(-3, 3, n), rng.uniform(-2, 2, n),
+                       rng.uniform(4, 15, n)], 1).astype(np.float32)
+        xw = (xc - t) @ R
+        uv = np.stack(
+            [FX * xc[:, 0] / xc[:, 2] + CX, FY * xc[:, 1] / xc[:, 2] + CY], 1
+        ).astype(np.float32)
+        uv += rng.standard_normal(uv.shape).astype(np.float32) * 1.0  # noisy
+        args = (jnp.asarray(xw), jnp.asarray(uv), jnp.ones(n),
+                jnp.ones(n, bool), FX, FY, CX, CY)
+        raw = jax.jit(_ft.partial(epnp_ransac, n_hyps=64, refine_rounds=0))
+        ref = jax.jit(_ft.partial(epnp_ransac, n_hyps=64, refine_rounds=2))
+        key = jax.random.PRNGKey(11)
+        _, _, _, n_raw = raw(key, *args)
+        _, _, _, n_ref = ref(key, *args)
+        assert int(n_ref) >= int(n_raw)
+        assert int(n_ref) >= 100, (int(n_raw), int(n_ref))
+
 
 class TestSim3Refine:
     def test_refines_perturbed(self, rng):
