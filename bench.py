@@ -22,7 +22,8 @@ import time
 import numpy as np
 
 WARMUP_FRAMES = 12   # compile + cache warm (first KFs trigger BA compiles)
-N_FRAMES = 110       # full orbit + 80 deg of re-observation (loop fires)
+N_FRAMES = 128       # full orbit + 200 deg of re-observation (loop fires:
+#                      ~5 return-sector KFs drive the consistency counter to 3)
 SMALL = os.environ.get("BENCH_SMALL", "") == "1"  # CPU smoke mode
 
 
@@ -93,7 +94,7 @@ def main():
     # global BA (the out-and-back used through r02 never produced one —
     # VERDICT r2 weak #3) ----
     world = SyntheticCylinderWorld(cfg, seed=7)
-    gt = orbit_trajectory(n_frames, total_deg=440.0, r_orbit=1.5)
+    gt = orbit_trajectory(n_frames, total_deg=560.0, r_orbit=1.5)
     frames = [world.render(R, t) for (R, t) in gt]  # pre-rendered: host
     # rasterization is dataset I/O, not engine work
 

@@ -70,7 +70,10 @@ def _run_orbit(enable_loop_closing: bool):
 
     cfg = synthetic_config(width=320, height=240)
     world = SyntheticCylinderWorld(cfg, seed=3)
-    gt = orbit_trajectory(96, total_deg=440.0, r_orbit=1.5)
+    # 560 deg: the return sector overlaps the outbound for ~200 deg, enough
+    # keyframes (~5 at the mapping-idle KF cadence) for the consistency
+    # counter to reach th=3 (LoopClosing.cc:167-227) before the run ends
+    gt = orbit_trajectory(128, total_deg=560.0, r_orbit=1.5)
     sys_ = System(cfg, enable_loop_closing=enable_loop_closing)
     n_ok = 0
     for i, (R_wc, t_wc) in enumerate(gt):
