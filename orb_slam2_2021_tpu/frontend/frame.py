@@ -254,3 +254,23 @@ def build_mono_frame(image, cfg: SlamConfig):
 @functools.lru_cache(maxsize=4)
 def make_stereo_frame_fn(cfg: SlamConfig):
     return jax.jit(functools.partial(build_stereo_frame, cfg=cfg))
+
+
+def build_stereo_frame_from_u8(images_u8, cfg: SlamConfig):
+    """Stereo frame assembly from ONE stacked [2, H, W] uint8 upload.
+
+    The remote-attached TPU uplink moves ~1 GB/s but every transfer shares
+    the tunnel with latency-critical reads; shipping the pair as uint8 cuts
+    the per-frame image payload 8x vs two float32 uploads (real cameras
+    produce 8-bit grayscale anyway — the reference converts to CV_8U mono,
+    Tracking.cc:183-208). Cast to f32 on device (free: fused into the
+    pyramid build)."""
+    return build_stereo_frame(
+        images_u8[0].astype(jnp.float32),
+        images_u8[1].astype(jnp.float32),
+        cfg=cfg,
+    )
+
+
+def make_stereo_frame_u8_fn(cfg: SlamConfig):
+    return jax.jit(functools.partial(build_stereo_frame_from_u8, cfg=cfg))

@@ -448,6 +448,132 @@ def _cg_lm_step_pq(cam, prob: BAProblem, onehot, R, t, xw, active, lam,
     return R_new, t_new, xw_new, chi2, behind, delta2
 
 
+def _cg_lm_step_rcs(cam, prob: BAProblem, onehot_pq, R, t, xw, active, lam,
+                    use_huber, cfg: OptimConfig, cg_iters: int):
+    """One damped LM step with the reduced camera system MATERIALIZED.
+
+    The matrix-free PQ step above touches the [O, C] one-hot and every [O, .]
+    block THREE times per CG iteration — at O = 65k, C = 128 that is the HBM
+    bill that dominated local BA (~11 ms per LM step measured on v5e). Here
+    the per-point W blocks are contracted into the dense Schur complement
+    S = U_d - W V^-1 W^T ([6C, 6C]) with two MXU matmuls ONCE per LM step
+    (the TPU shape of g2o's `_Hschur` block solver, block_solver.hpp:51-123),
+    and the PCG iterations run on [6C] vectors at negligible cost. Valid for
+    local windows (C <= ~160); global BA keeps the matrix-free path."""
+    C = prob.R.shape[0]
+    P = prob.xw.shape[0]
+    O = prob.obs_cam.shape[0]
+    Q = O // P
+
+    r, Jc, Jp, chi2, behind = _residual_jacobians(cam, prob, R, t, xw)
+    is_stereo = prob.obs_uvr[:, 2] >= 0
+    delta2 = jnp.where(is_stereo, cfg.chi2_stereo, cfg.chi2_mono)
+    wh = jnp.where(use_huber, huber_weight(chi2, delta2), 1.0)
+    w = prob.obs_inv_sigma2 * wh * active
+
+    free_o = jnp.take(prob.cam_free, prob.obs_cam)
+    Jc = Jc * free_o[:, None, None]
+    Jcw = Jc * w[:, None, None]
+
+    Uo = souter(Jcw, Jc)                                            # [O,6,6]
+    U = jnp.einsum("oc,okl->ckl", onehot_pq, Uo, precision=HIGHEST)
+    bco = stmv(Jcw, r)
+    b_c = jnp.einsum("oc,ok->ck", onehot_pq, bco, precision=HIGHEST)
+
+    Jpw = Jp * w[:, None, None]
+    Vo = souter(Jpw, Jp)
+    V = Vo.reshape(P, Q, 3, 3).sum(axis=1)
+    bpo = stmv(Jpw, r)
+    b_p = bpo.reshape(P, Q, 3).sum(axis=1)
+
+    Wcp = souter(Jcw, Jp)                                           # [O,6,3]
+
+    eyeC = jnp.eye(6, dtype=R.dtype)
+    eyeP = jnp.eye(3, dtype=R.dtype)
+    U_d = U + lam * eyeC[None] * jnp.maximum(
+        jnp.diagonal(U, axis1=1, axis2=2), 1e-6
+    )[:, :, None] * eyeC[None] + 1e-8 * eyeC[None]
+    V_d = V + lam * eyeP[None] * jnp.maximum(
+        jnp.diagonal(V, axis1=1, axis2=2), 1e-6
+    )[:, :, None] * eyeP[None] + 1e-8 * eyeP[None]
+    U_d = jnp.where(prob.cam_free[:, None, None], U_d, eyeC[None])
+    V_inv = _inv3x3(V_d)
+    free = prob.cam_free[:, None]
+
+    # ---- materialize S and the corrected RHS ----
+    # M1[c, p] = sum_q 1[cam(p,q) = c] * W_(p,q)   ([C, P, 6, 3])
+    oh = onehot_pq.reshape(P, Q, C)
+    Wr = Wcp.reshape(P, Q, 6, 3)
+    M1 = jnp.einsum("pqc,pqik->cpik", oh, Wr, precision=HIGHEST)
+    # M2 = M1 V^-1;   S_corr = M2 M1^T  as one [6C, 3P] x [3P, 6C] matmul
+    M2 = jnp.einsum("cpik,pkl->cpil", M1, V_inv, precision=HIGHEST)
+    M1f = M1.transpose(0, 2, 1, 3).reshape(6 * C, 3 * P)
+    M2f = M2.transpose(0, 2, 1, 3).reshape(6 * C, 3 * P)
+    S_corr = M2f @ M1f.T                                            # MXU
+    U_flat = jnp.zeros((6 * C, 6 * C), R.dtype)
+    ci = jnp.arange(C)
+    ii, jj = jnp.meshgrid(jnp.arange(6), jnp.arange(6), indexing="ij")
+    U_flat = U_flat.at[
+        (ci[:, None, None] * 6 + ii[None]).reshape(-1),
+        (ci[:, None, None] * 6 + jj[None]).reshape(-1),
+    ].set(U_d.reshape(-1))
+    S = U_flat - S_corr
+    S = 0.5 * (S + S.T)
+
+    Vb = smv(V_inv, b_p)                                            # [P,3]
+    b_corr = (M1f @ Vb.reshape(-1)).reshape(C, 6)
+    rhs = (-(b_c - b_corr) * free).reshape(-1)
+
+    # keep fixed cameras decoupled: their rows/cols collapse to identity
+    free_flat = jnp.repeat(prob.cam_free, 6)
+    mask2 = free_flat[:, None] & free_flat[None, :]
+    S = jnp.where(mask2, S, jnp.eye(6 * C, dtype=R.dtype))
+    rhs = rhs * free_flat
+
+    # PCG on the dense (small) system — each iteration is one [6C,6C] matvec
+    M_inv = _inv6x6_spd(U_d)
+
+    def precond(v):
+        return (smv(M_inv, v.reshape(C, 6)) * free).reshape(-1)
+
+    def dot(a, b):
+        return jnp.sum(a * b)
+
+    x0 = jnp.zeros_like(rhs)
+    r0 = rhs
+    z0 = precond(r0)
+
+    def cg_body(carry, _):
+        x, rr, z, p, rz = carry
+        Sp = (S @ p) * free_flat
+        pSp = dot(p, Sp)
+        alpha = rz / jnp.where(jnp.abs(pSp) < 1e-20, 1e-20, pSp)
+        alive = rz > 1e-18
+        alpha = jnp.where(alive, alpha, 0.0)
+        x = x + alpha * p
+        rr = rr - alpha * Sp
+        z = precond(rr)
+        rz_new = dot(rr, z)
+        beta = jnp.where(alive, rz_new / jnp.where(rz < 1e-20, 1e-20, rz), 0.0)
+        p = z + beta * p
+        return (x, rr, z, p, rz_new), None
+
+    (dx, _, _, _, _), _ = jax.lax.scan(
+        cg_body, (x0, r0, z0, z0, dot(r0, z0)), None, length=cg_iters
+    )
+    delta_c = dx.reshape(C, 6) * free
+
+    # back-substitution: delta_p = -V^-1 (b_p + W^T delta_c)
+    dco = jnp.take(delta_c, prob.obs_cam, axis=0)
+    wt_dc = stmv(Wcp, dco).reshape(P, Q, 3).sum(axis=1)
+    delta_p = -smv(V_inv, b_p + wt_dc)
+
+    dR, dt = se3_exp(delta_c)
+    R_new, t_new = se3_compose(dR, dt, R, t)
+    xw_new = xw + delta_p
+    return R_new, t_new, xw_new, chi2, behind, delta2
+
+
 def ba_solve_cg_pq(cam, prob: BAProblem, cfg: OptimConfig,
                    iters_phase1: int, iters_phase2: int):
     """PQ-layout two-phase LM — drop-in for ba_solve_cg on problems assembled
@@ -458,7 +584,7 @@ def ba_solve_cg_pq(cam, prob: BAProblem, cfg: OptimConfig,
     def phase(R, t, xw, active, lam, n_iters, use_huber):
         def body(carry, _):
             R, t, xw, lam = carry
-            Rn, tn, xwn, chi2, behind, delta2 = _cg_lm_step_pq(
+            Rn, tn, xwn, chi2, behind, delta2 = _cg_lm_step_rcs(
                 cam, prob, onehot, R, t, xw, active, lam, use_huber, cfg, cg_iters
             )
             cost_old = _total_cost(chi2, active, delta2, use_huber)
@@ -504,6 +630,48 @@ def make_local_ba_cg_pq(cfg: OptimConfig):
             iters_phase2=cfg.local_ba_iters2,
         )
     )
+
+
+@functools.lru_cache(maxsize=16)
+def make_lm_chunk_pq(cfg: OptimConfig, n_iters: int):
+    """Jitted CHUNK of n_iters PQ-layout LM iterations (lax.scan inside one
+    program). The abortable local BA steps in chunks instead of single
+    iterations: over the remote-attached TPU each host-driven step costs a
+    ~25 ms round trip, which made the 15-iteration solve dispatch-bound
+    (~23 ms/iter measured r02 for a ~2 ms compute). Abort granularity
+    (mbAbortBA, Optimizer.cc:519-520) coarsens to the chunk boundary."""
+
+    def chunk(cam, prob: BAProblem, R, t, xw, lam, active, use_huber):
+        onehot = _cam_onehot(prob)
+
+        def body(carry, _):
+            R, t, xw, lam = carry
+            Rn, tn, xwn, chi2, behind, delta2 = _cg_lm_step_rcs(
+                cam, prob, onehot, R, t, xw, active, lam, use_huber, cfg,
+                cfg.cg_iters
+            )
+            cost_old = _total_cost(chi2, active, delta2, use_huber)
+            _, _, _, chi2_new, _ = _residual_jacobians(cam, prob, Rn, tn, xwn)
+            cost_new = _total_cost(chi2_new, active, delta2, use_huber)
+            improved = cost_new < cost_old
+            R = jnp.where(improved, Rn, R)
+            t = jnp.where(improved, tn, t)
+            xw = jnp.where(improved, xwn, xw)
+            lam = jnp.where(improved, lam * 0.5, lam * 4.0)
+            return (R, t, xw, lam), None
+
+        (R, t, xw, lam), _ = jax.lax.scan(
+            body, (R, t, xw, lam), None, length=n_iters
+        )
+        # classification at the chunk's exit state rides along so the caller
+        # never needs a separate classify dispatch
+        _, _, _, chi2, behind = _residual_jacobians(cam, prob, R, t, xw)
+        is_stereo = prob.obs_uvr[:, 2] >= 0
+        delta2 = jnp.where(is_stereo, cfg.chi2_stereo, cfg.chi2_mono)
+        inlier = prob.obs_valid & (chi2 <= delta2) & (~behind)
+        return R, t, xw, lam, inlier
+
+    return jax.jit(chunk)
 
 
 @functools.lru_cache(maxsize=4)

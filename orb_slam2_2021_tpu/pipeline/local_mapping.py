@@ -25,6 +25,7 @@ from collections import deque
 from typing import Deque, Dict, List, Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..config import SlamConfig
@@ -67,6 +68,9 @@ class LocalMapping:
         self.abort_ba = False  # mbAbortBA (LocalMapping.cc:123)
         self.monocular = False  # set by System; changes culling thresholds
         self.ba_solve_times: List[tuple] = []  # (seconds, lm_iterations)
+        # fine-grained section timers (see tracking.sect_times)
+        import collections as _collections
+        self.sect_times = _collections.defaultdict(float)
         # worker-thread state (async mode)
         self._cv = threading.Condition()
         self._finish_requested = False
@@ -275,10 +279,10 @@ class LocalMapping:
             # round trip each on a remote-attached TPU)
             views2 = self._kf_views(neighbors, unbound_only=True, T_pad=nn)
 
-        match2_b, xw_b, ok_b, _ = self._tri_batch_fn(self.cam, view1, views2)
-        match2_b = np.asarray(match2_b)
-        xw_b = np.asarray(xw_b)
-        ok_b = np.asarray(ok_b)
+        out = self._tri_batch_fn(self.cam, view1, views2)
+        # ONE synchronized read for all three result arrays (tunnel round
+        # trips dominate; see _local_ba)
+        match2_b, xw_b, ok_b = jax.device_get(out[:3])
 
         with m.lock:
             if not m.kf_valid[k]:
@@ -381,15 +385,29 @@ class LocalMapping:
             fuse_ids = np.unique(fuse_ids[fuse_ids >= 0])
             back = self._snapshot_fuse_into(fuse_ids, k)
 
-        # device dispatches — no lock held
-        fwd_results = []
+        # device dispatches — no lock held. ALL dispatches are issued first,
+        # then ONE synchronized read fetches every result (each np.asarray on
+        # the remote tunnel costs a ~25 ms round trip plus a stall on the
+        # dispatches that follow it).
+        fwd_dev = []
         for chunk, views in chunks:
             bf_b, acc_b, _ = self._fuse_batch_fn(self.cam, views, *args)
-            fwd_results.append((chunk, np.asarray(acc_b), np.asarray(bf_b)))
-        back_results = []
+            fwd_dev.append((chunk, acc_b, bf_b))
+        back_dev = []
         for bsel, bargs, view in back:
             best_feat, accept, _ = self._fuse_fn(self.cam, view, *bargs)
-            back_results.append((bsel, np.asarray(accept), np.asarray(best_feat)))
+            back_dev.append((bsel, accept, best_feat))
+        pulled = jax.device_get(
+            [(a, b) for _, a, b in fwd_dev] + [(a, b) for _, a, b in back_dev]
+        )
+        fwd_results = [
+            (chunk, acc, bf)
+            for (chunk, _, _), (acc, bf) in zip(fwd_dev, pulled[: len(fwd_dev)])
+        ]
+        back_results = [
+            (bsel, acc, bf)
+            for (bsel, _, _), (acc, bf) in zip(back_dev, pulled[len(fwd_dev):])
+        ]
 
         with m.lock:
             for chunk, acc_b, bf_b in fwd_results:
@@ -433,10 +451,12 @@ class LocalMapping:
         loop-closure SearchAndFuse path). Takes the map lock itself."""
         with self.map.lock:
             snaps = self._snapshot_fuse_into(ids, kt, chunk)
-        results = []
+        dev = []
         for sel, args, view in snaps:
             best_feat, accept, _ = self._fuse_fn(self.cam, view, *args)
-            results.append((sel, np.asarray(accept), np.asarray(best_feat)))
+            dev.append((sel, accept, best_feat))
+        pulled = jax.device_get([(a, b) for _, a, b in dev])
+        results = [(sel, acc, bf) for (sel, _, _), (acc, bf) in zip(dev, pulled)]
         with self.map.lock:
             if not self.map.kf_valid[kt]:
                 return
@@ -542,10 +562,15 @@ class LocalMapping:
             out = self._solve_ba_abortable(prob)
             if out is None:
                 return  # aborted by a newly inserted keyframe
-            Rn, tn, xwn, inlier = out
         else:
-            Rn, tn, xwn, inlier = self._ba_fn(self.cam, prob)
-        Rn, tn, xwn, inlier = map(np.asarray, (Rn, tn, xwn, inlier))
+            out = self._ba_fn(self.cam, prob)
+        t1 = _time.perf_counter()
+        # ONE synchronized device->host read for the whole solve: on the
+        # remote-attached TPU each np.asarray costs a ~25 ms round trip plus a
+        # pipeline stall on the dispatches that follow it
+        Rn, tn, xwn, inlier = jax.device_get(out)
+        self.sect_times[f"ba.dispatch[P={prob.xw.shape[0]},Q={prob.obs_cam.shape[0]//prob.xw.shape[0]}]"] += t1 - t0
+        self.sect_times["ba.pull"] += _time.perf_counter() - t1
         self.ba_solve_times.append(
             (_time.perf_counter() - t0, ocfg.local_ba_iters1 + ocfg.local_ba_iters2)
         )
@@ -569,33 +594,31 @@ class LocalMapping:
                     self.map._remove_observation(m, kf)
 
     def _solve_ba_abortable(self, prob):
-        """Host-stepped two-phase LM with an abort check between iterations
-        (the g2o forceStop polled via mbAbortBA, Optimizer.cc:519-520).
-        Returns None when aborted before any useful progress."""
-        from ..optim.ba_cg import make_classify, make_lm_iteration_pq
+        """Chunked two-phase LM with an abort check between chunks (the g2o
+        forceStop polled via mbAbortBA, Optimizer.cc:519-520; the reference
+        polls per iteration — our chunk is the phase, because each host-driven
+        step costs a ~25 ms tunnel round trip). Returns None when aborted
+        before any useful progress. Inlier classification rides inside each
+        chunk program, so the whole solve is 1-2 dispatches and the caller's
+        single read."""
+        from ..optim.ba_cg import make_lm_chunk_pq
 
         ocfg = self.cfg.optim
-        step = make_lm_iteration_pq(ocfg)
-        classify = make_classify(ocfg)
+        if self.abort_ba:
+            return None
+        chunk1 = make_lm_chunk_pq(ocfg, ocfg.local_ba_iters1)
         R, t, xw = prob.R, prob.t, prob.xw
         lam = jnp.float32(ocfg.lm_lambda_init)
         active = prob.obs_valid.astype(jnp.float32)
-        done = 0
-        for _ in range(ocfg.local_ba_iters1):
-            if self.abort_ba:
-                break
-            R, t, xw, lam, _ = step(self.cam, prob, R, t, xw, lam, active, jnp.bool_(True))
-            done += 1
-        if done == 0:
-            return None
-        inlier = classify(self.cam, prob, R, t, xw)
+        R, t, xw, lam, inlier = chunk1(
+            self.cam, prob, R, t, xw, lam, active, jnp.bool_(True)
+        )
         if not self.abort_ba:
+            chunk2 = make_lm_chunk_pq(ocfg, ocfg.local_ba_iters2)
             active = inlier.astype(jnp.float32)
-            for _ in range(ocfg.local_ba_iters2):
-                if self.abort_ba:
-                    break
-                R, t, xw, lam, _ = step(self.cam, prob, R, t, xw, lam, active, jnp.bool_(False))
-            inlier = classify(self.cam, prob, R, t, xw)
+            R, t, xw, lam, inlier = chunk2(
+                self.cam, prob, R, t, xw, lam, active, jnp.bool_(False)
+            )
         return R, t, xw, inlier
 
     # ------------------------------------------------------------------

@@ -310,6 +310,7 @@ class LoopClosing:
         )
         P = 4096
         out = np.full(self.cfg.orb.n_features, -1, np.int64)
+        dev = []
         for s0 in range(0, len(loop_mps), P):
             sub = loop_mps[s0 : s0 + P]
             pad = P - len(sub)
@@ -325,8 +326,9 @@ class LoopClosing:
                 jnp.asarray(valid),
                 radius_th=radius_th,
             )
-            accept = np.asarray(accept)
-            best_feat = np.asarray(best_feat)
+            dev.append((sel, accept, best_feat))
+        pulled = jax.device_get([(a, b) for _, a, b in dev])
+        for (sel, _, _), (accept, best_feat) in zip(dev, pulled):
             for i in np.nonzero(accept)[0]:
                 out[best_feat[i]] = sel[i]
         return out
@@ -621,16 +623,27 @@ class LoopClosing:
         active = prob.obs_valid.astype(jnp.float32)
         self.gba_iter_times: List[float] = []
         import time as _time
-        for _ in range(self.cfg.optim.global_ba_iters):
+        # iterations are dispatched in chunks: each host-visible sync costs a
+        # ~25 ms tunnel round trip, so polling stop_gba every iteration made
+        # the solve dispatch-bound. The abort check (mbStopGBA,
+        # LoopClosing.cc:674-779) coarsens to the chunk boundary.
+        n_total = self.cfg.optim.global_ba_iters
+        chunk = max(1, (n_total + 1) // 2)
+        done = 0
+        while done < n_total:
             if self.stop_gba:
                 return  # aborted: discard (the superseding loop re-runs GBA)
+            k = min(chunk, n_total - done)
             t0 = _time.perf_counter()
-            R, t, xw, lam, _cost = step(self.cam, prob, R, t, xw, lam, active,
-                                        jnp.bool_(True))
+            for _ in range(k):
+                R, t, xw, lam, _cost = step(self.cam, prob, R, t, xw, lam,
+                                            active, jnp.bool_(True))
             jax.block_until_ready(R)
-            self.gba_iter_times.append(_time.perf_counter() - t0)
+            dt = (_time.perf_counter() - t0) / k
+            self.gba_iter_times.extend([dt] * k)
+            done += k
 
-        R, t, xw = map(np.asarray, (R, t, xw))
+        R, t, xw = jax.device_get((R, t, xw))
         with self.map.lock:
             if idx != self.full_ba_idx or self.stop_gba:
                 return  # stale: a newer loop correction owns the map now

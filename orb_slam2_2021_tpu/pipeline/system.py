@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SlamConfig
-from ..frontend.frame import make_stereo_frame_fn
+from ..frontend.frame import make_stereo_frame_fn, make_stereo_frame_u8_fn
 from ..mapping.map_store import MapStore
 from ..place.bundle import PlaceRecognition
 from .local_mapping import LocalMapping
@@ -79,6 +79,7 @@ class System:
 
         self.grid_mapper = GridMapper(cfg, self.map) if enable_mapping else None
         self._frame_fn = make_stereo_frame_fn(cfg)
+        self._frame_u8_fn = make_stereo_frame_u8_fn(cfg)
         self.frame_times: List[float] = []
         self.metrics: List[dict] = []  # per-frame records (io/metrics.py schema)
         self._frame_id = 0
@@ -176,7 +177,16 @@ class System:
         """
         self._pre_frame()
         t0 = time.perf_counter()
-        frame = self._frame_fn(jnp.asarray(image_left, jnp.float32), jnp.asarray(image_right, jnp.float32))
+        # ship the pair as ONE stacked uint8 upload (8x smaller than two f32
+        # transfers; the cast back to f32 runs on device — frame.py
+        # build_stereo_frame_from_u8)
+        il = np.asarray(image_left)
+        ir = np.asarray(image_right)
+        if il.dtype == np.uint8 and ir.dtype == np.uint8:
+            stacked = np.stack([il, ir])
+        else:
+            stacked = np.clip(np.stack([il, ir]), 0, 255).astype(np.uint8)
+        frame = self._frame_u8_fn(jnp.asarray(stacked))
         t1 = time.perf_counter()
         with self.map.lock:
             pose = self.tracker.track_stereo_frame(frame, self._frame_id, timestamp)

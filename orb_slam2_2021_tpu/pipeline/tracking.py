@@ -19,6 +19,7 @@ from enum import Enum
 from typing import List, Optional, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..config import SlamConfig
@@ -129,6 +130,11 @@ class Tracking:
         self._kf_close_counts = None
         # current frame's slot -> map-point-id bindings (-1 = unbound)
         self._bind_cur = np.full(cfg.orb.n_features, -1, np.int64)
+        # fine-grained section timers (seconds, cumulative) for profiling the
+        # transfer-bound hot path; read by scripts/profile_e2e.py
+        import collections as _collections
+        self.sect_times = _collections.defaultdict(float)
+        self.sect_counts = _collections.defaultdict(int)
 
     # ------------------------------------------------------------------
     def track_stereo_frame(self, frame: Frame, frame_id: int, timestamp: float):
@@ -658,12 +664,20 @@ class Tracking:
 
     # ------------------------------------------------------------------
     def _frame_host_arrays(self, frame: Frame):
-        """Host views of a frame's feature data via TWO packed pulls (f32 +
-        descriptor u32) instead of eight separate device->host copies."""
+        """Host views of a frame's feature data (plus its BoW words when a
+        vocabulary is configured) via ONE synchronized device->host read —
+        each read costs a ~25 ms tunnel round trip plus a stall on following
+        dispatches, so everything the host will ever need from a keyframe
+        arrives together."""
         if self._fh is not None and self._fh[0] is frame:
             return self._fh[1]
         f, desc = self._pack_fn(frame.kp, frame.u_right, frame.depth)
-        f = np.asarray(f)
+        if self.place is not None:
+            w_dev = self.place.transform(frame.kp.desc, frame.kp.valid)
+            f, desc, words = jax.device_get((f, desc, w_dev))
+        else:
+            f, desc = jax.device_get((f, desc))
+            words = None
         host = {
             "xy": np.ascontiguousarray(f[:, :2]),
             "ur": f[:, 2].copy(),
@@ -673,6 +687,7 @@ class Tracking:
             "kp_valid": f[:, 6] > 0,
             "response": f[:, 7].copy(),
             "desc": np.asarray(desc),
+            "words": words,
         }
         self._fh = (frame, host)
         return host
@@ -765,13 +780,20 @@ class Tracking:
         pose_pack[13] = self.cfg.resolved_depth_th()
         pose_pack[14] = 20.0
 
+        import time as _time
+        _t0 = _time.perf_counter()
         out = self._fused_fn(
             self.cam, frame.kp, frame.u_right, frame.depth,
             lf.kp.desc, lf.kp.octave, lf.kp.angle, lf.kp.valid,
             jnp.asarray(pack), *self._snap_dev,
         )
+        _t1 = _time.perf_counter()
         # ONE packed pull: out_f bitcast (30) | enc (N) | visible (P)
         out = np.asarray(out)
+        _t2 = _time.perf_counter()
+        self.sect_times["fused.dispatch"] += _t1 - _t0
+        self.sect_times["fused.pull"] += _t2 - _t1
+        self.sect_counts["fused.dispatch"] += 1
         f = out[:30].view(np.float32)
         nm1, nin1, nin2 = int(f[12]), int(f[13]), int(f[14])
         if nm1 < 20 or nin1 < self.cfg.tracking.min_inliers_track:
@@ -994,11 +1016,12 @@ class Tracking:
             self.local_mapper.insert_keyframe(k, words)
 
     def _compute_words(self, frame: Frame):
-        """KF ComputeBoW (Frame.cc:447-454): descriptor -> word ids on
-        device; None when no vocabulary is configured."""
+        """KF ComputeBoW (Frame.cc:447-454): descriptor -> word ids, pulled
+        together with the frame's host arrays in the single keyframe read
+        (_frame_host_arrays); None when no vocabulary is configured."""
         if self.place is None:
             return None
-        return np.asarray(self.place.transform(frame.kp.desc, frame.kp.valid))
+        return self._frame_host_arrays(frame)["words"]
 
     # ------------------------------------------------------------------
     def _set_metrics(self, frame_id: int, timestamp: float, kf_created: bool):

@@ -93,6 +93,11 @@ def main():
         acc += v
         print(f"{k:45s} {1e3*v/n:8.1f} ms/frame  x{counts[k]:4d}  ({100*v/total:4.1f}%)")
     print(f"{'(accounted)':45s} {1e3*acc/n:8.1f} ms/frame        ({100*acc/total:4.1f}%)")
+    sects = dict(sys_.tracker.sect_times)
+    if sys_.local_mapper is not None:
+        sects.update(sys_.local_mapper.sect_times)
+    for k, v in sorted(sects.items(), key=lambda kv: -kv[1]):
+        print(f"  [sect] {k:36s} {1e3*v/n:8.1f} ms/frame")
 
 
 if __name__ == "__main__":
