@@ -17,7 +17,11 @@ import jax.numpy as jnp
 from ..config import SlamConfig
 from ..geometry.camera import PinholeCamera
 from ..frontend.features import Keypoints
-from ..frontend.matchers import match_last_frame, match_local_points
+from ..frontend.matchers import (
+    match_bruteforce_desc,
+    match_last_frame,
+    match_local_points,
+)
 from ..optim.pose import PoseObs, pose_optimize
 from ..xmath import HIGHEST
 
@@ -70,6 +74,42 @@ def motion_track_step(
 
     obs = _pose_obs_from_matches(kp, feat_ur, xw, bound, cfg)
     R, t, inlier, n_in = pose_optimize(cam, R_pred, t_pred, obs, cfg.optim)
+    return R, t, slot, inlier, n_in, jnp.sum(bound)
+
+
+def bow_track_step(
+    cam: PinholeCamera,
+    kp: Keypoints,
+    feat_ur,
+    R0, t0,
+    lm_xw, lm_desc, lm_angle, lm_valid,
+    cfg: SlamConfig,
+):
+    """TrackReferenceKeyFrame matching + PoseOptimization
+    (Tracking.cc:777-819): WINDOW-FREE descriptor matching of the reference
+    keyframe's landmarks against the current frame (the reference uses
+    SearchByBoW, ORBmatcher.cc:165-293 — descriptor-only with ratio +
+    rotation-histogram gates, no projection window), then the 4x10 LM from
+    the last pose. This is the recovery path when the motion prior is bad —
+    exactly when a projection window is weakest.
+
+    Returns (R, t, match_slot [N] landmark slot per feature (-1), inlier [N],
+    n_inliers, n_matched)."""
+    best_b, accept, dist = match_bruteforce_desc(
+        lm_desc, lm_valid, lm_angle, kp.desc, kp.valid, kp.angle,
+    )
+    n = kp.capacity
+    a = lm_xw.shape[0]
+    slot = jnp.full((n,), -1, jnp.int32)
+    qidx = jnp.arange(a, dtype=jnp.int32)
+    slot = slot.at[jnp.where(accept, best_b, n)].set(
+        jnp.where(accept, qidx, -1), mode="drop"
+    )
+    bound = slot >= 0
+    xw = jnp.take(lm_xw, jnp.clip(slot, 0), axis=0)
+
+    obs = _pose_obs_from_matches(kp, feat_ur, xw, bound, cfg)
+    R, t, inlier, n_in = pose_optimize(cam, R0, t0, obs, cfg.optim)
     return R, t, slot, inlier, n_in, jnp.sum(bound)
 
 
@@ -280,6 +320,11 @@ def make_frame_pack_fn(cfg: SlamConfig):
 @functools.lru_cache(maxsize=4)
 def make_motion_track_fn(cfg: SlamConfig):
     return jax.jit(functools.partial(motion_track_step, cfg=cfg))
+
+
+@functools.lru_cache(maxsize=4)
+def make_bow_track_fn(cfg: SlamConfig):
+    return jax.jit(functools.partial(bow_track_step, cfg=cfg))
 
 
 @functools.lru_cache(maxsize=4)

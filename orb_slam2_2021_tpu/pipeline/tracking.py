@@ -27,6 +27,7 @@ from ..frontend.frame import Frame
 from ..geometry.camera import PinholeCamera
 from ..mapping.map_store import MapStore
 from .track_steps import (
+    make_bow_track_fn,
     make_frame_pack_fn,
     make_fused_track_packed_fn,
     make_local_track_fn,
@@ -113,6 +114,7 @@ class Tracking:
         self._mono_ref = None       # reference frame data for mono init
 
         self._motion_fn = make_motion_track_fn(cfg)
+        self._bow_fn = make_bow_track_fn(cfg)
         self._local_fn = make_local_track_fn(cfg)
         self._fused_fn = make_fused_track_packed_fn(cfg)
         self._pack_fn = make_frame_pack_fn(cfg)
@@ -501,10 +503,13 @@ class Tracking:
         return True
 
     def _track_reference_kf(self, frame: Frame) -> bool:
-        """TrackReferenceKeyFrame (Tracking.cc:777-819) — descriptor matching
-        against the reference KF's landmarks (BoW-accelerated in the
-        reference; dense Hamming here), then pose optimization from the last
-        pose."""
+        """TrackReferenceKeyFrame (Tracking.cc:777-819) — WINDOW-FREE
+        descriptor matching against the reference KF's landmarks (the
+        reference's SearchByBoW, ORBmatcher.cc:165-293: descriptor distance +
+        ratio + rotation-histogram gates, no projection window — after a
+        motion-model failure the pose prior is by definition bad, so a window
+        around it would be weakest exactly when this path runs), then pose
+        optimization from the last pose."""
         if self.ref_kf < 0 or self.last_pose is None:
             return False
         k = self.ref_kf
@@ -512,28 +517,20 @@ class Tracking:
         valid = (mp >= 0) & self.map.mp_valid[np.clip(mp, 0, None)]
         if valid.sum() < 15:
             return False
-        lm = {
-            "xw": self.map.mp_pos[np.clip(mp, 0, None)],
-            "desc": self.map.kf_desc[k],
-            "octave": self.map.kf_octave[k],
-            "angle": self.map.kf_angle[k],
-            "valid": valid,
-            "ids": np.where(valid, mp, -1),
-        }
+        ids = np.where(valid, mp, -1)
+        xw = self.map.mp_pos[np.clip(mp, 0, None)]
         R_l, t_l = self.last_pose
-        # generous search window substitutes for the BoW candidate pruning
-        R, t, slot, inlier, n_in, n_matched = self._motion_fn(
+        out = self._bow_fn(
             self.cam, frame.kp, frame.u_right,
             jnp.asarray(R_l), jnp.asarray(t_l),
-            jnp.asarray(lm["xw"]), jnp.asarray(lm["desc"]),
-            jnp.asarray(lm["octave"]), jnp.asarray(lm["angle"]),
-            jnp.asarray(lm["valid"]),
-            jnp.float32(4 * self.cfg.tracking.motion_search_radius),
+            jnp.asarray(xw), jnp.asarray(self.map.kf_desc[k]),
+            jnp.asarray(self.map.kf_angle[k]), jnp.asarray(valid),
         )
+        R, t, slot, inlier, n_in, n_matched = jax.device_get(out)
         if int(n_matched) < 15 or int(n_in) < self.cfg.tracking.min_inliers_track:
             return False
-        self._apply_matches(lm["ids"], np.asarray(slot), np.asarray(inlier))
-        self.last_pose = (np.asarray(R), np.asarray(t))
+        self._apply_matches(ids, slot, inlier)
+        self.last_pose = (R, t)
         return True
 
     def _feature_scale(self) -> float:
