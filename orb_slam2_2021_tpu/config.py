@@ -96,7 +96,7 @@ class OptimConfig:
     local_ba_max_cams: int = 64
     local_ba_max_fixed: int = 64
     local_ba_max_points: int = 4096
-    local_ba_max_obs_per_point: int = 16
+    local_ba_max_obs_per_point: int = 8   # Q cap: bounds PQ padding AND jit-bucket variety (each (P,Q) bucket costs ~10s XLA compile); observations beyond 8 per point are dropped from local BA only
     local_ba_max_obs: int = 32768
     # matrix-free Schur PCG (optim/ba_cg.py): inner CG iterations per LM step
     cg_iters: int = 24

@@ -153,8 +153,7 @@ class LocalMapping:
             if not self.map.kf_valid[k]:
                 return
             self._cull_recent_points(k)
-        self._create_new_points(k)
-        self._fuse_neighbors(k)
+        self._mapping_device_pass(k)
         if self.enable_ba and self.map.n_kf > 2 and not self.queue:
             self._local_ba(k)
         with lock:
@@ -239,46 +238,54 @@ class LocalMapping:
             self.recent.pop(m, None)
 
     # ------------------------------------------------------------------
+    def _snapshot_triangulation(self, k: int):
+        """Host snapshot for CreateNewMapPoints (call under the map lock).
+        Returns (neighbors, view1, views2) or None."""
+        nn = self.cfg.mapping.triangulation_neighbors
+        m = self.map
+        if not m.kf_valid[k]:
+            return None
+        neighbors = [int(x) for x in m.covisible_keyframes(k, nn)]
+        if len(neighbors) == 0:
+            return None
+        baseline_min = self.cfg.bf / self.cfg.fx  # stereo: baseline > b
+
+        # baseline gates (LocalMapping.cc:258-280) use only keyframe
+        # poses — apply them on the host BEFORE the batched dispatch so
+        # short-baseline pairs never cost device matching work
+        c1 = -m.kf_R[k].T @ m.kf_t[k]
+
+        def _baseline(k2):
+            return float(np.linalg.norm((-m.kf_R[k2].T @ m.kf_t[k2]) - c1))
+
+        if self.monocular:
+            keep = []
+            for k2 in neighbors:
+                med = self._median_scene_depth(k2)
+                if med > 0 and _baseline(k2) / med >= 0.01:
+                    keep.append(k2)
+            neighbors = keep
+        else:
+            neighbors = [k2 for k2 in neighbors if _baseline(k2) >= baseline_min]
+        if not neighbors:
+            return None
+        view1 = self._kf_view(k, unbound_only=True)
+        # all surviving pairs in ONE vmapped dispatch (the per-neighbor loop
+        # of LocalMapping.cc:227-244 costs a device round trip each on a
+        # remote-attached TPU)
+        views2 = self._kf_views(neighbors, unbound_only=True, T_pad=nn)
+        return neighbors, view1, views2
+
     def _create_new_points(self, k: int):
         """CreateNewMapPoints (LocalMapping.cc:211-458). Lock discipline:
         snapshot under the map lock, triangulate on device WITHOUT it, merge
         under it again (re-validating bindings that changed in flight)."""
-        nn = self.cfg.mapping.triangulation_neighbors
         m = self.map
         with m.lock:
-            if not m.kf_valid[k]:
-                return
-            neighbors = [int(x) for x in m.covisible_keyframes(k, nn)]
-            if len(neighbors) == 0:
-                return
-            baseline_min = self.cfg.bf / self.cfg.fx  # stereo: baseline > b
-
-            # baseline gates (LocalMapping.cc:258-280) use only keyframe
-            # poses — apply them on the host BEFORE the batched dispatch so
-            # short-baseline pairs never cost device matching work
-            c1 = -m.kf_R[k].T @ m.kf_t[k]
-
-            def _baseline(k2):
-                return float(np.linalg.norm((-m.kf_R[k2].T @ m.kf_t[k2]) - c1))
-
-            if self.monocular:
-                keep = []
-                for k2 in neighbors:
-                    med = self._median_scene_depth(k2)
-                    if med > 0 and _baseline(k2) / med >= 0.01:
-                        keep.append(k2)
-                neighbors = keep
-            else:
-                neighbors = [k2 for k2 in neighbors if _baseline(k2) >= baseline_min]
-            if not neighbors:
-                return
-            view1 = self._kf_view(k, unbound_only=True)
-
-            # all surviving pairs in ONE vmapped dispatch, ONE pull set (the
-            # per-neighbor loop of LocalMapping.cc:227-244 costs a device
-            # round trip each on a remote-attached TPU)
-            views2 = self._kf_views(neighbors, unbound_only=True, T_pad=nn)
-
+            snap = self._snapshot_triangulation(k)
+        if snap is None:
+            return
+        neighbors, view1, views2 = snap
         out = self._tri_batch_fn(self.cam, view1, views2)
         # ONE synchronized read for all three result arrays (tunnel round
         # trips dominate; see _local_ba)
@@ -288,6 +295,68 @@ class LocalMapping:
             if not m.kf_valid[k]:
                 return
             self._merge_new_points(k, neighbors, match2_b, xw_b, ok_b)
+
+    def _mapping_device_pass(self, k: int):
+        """Combined CreateNewMapPoints + SearchInNeighbors with ONE
+        synchronized device->host read for the whole keyframe.
+
+        The reference runs them sequentially (LocalMapping.cc:84-86) and the
+        r02 pipeline mirrored that with a read per stage — but every read on
+        the remote-attached TPU costs ~25 ms plus a stall on following
+        dispatches, and the mapping worker's reads stall the tracking lane's
+        chain too (one shared tunnel). Triangulation and both fuse directions
+        are snapshotted together (fuse thus projects the PRE-triangulation
+        point set; points created this keyframe fuse one keyframe later via
+        the two-hop target window — behavioral divergence bounded by one KF),
+        dispatched together, and read together."""
+        m = self.map
+        with m.lock:
+            tri = self._snapshot_triangulation(k)
+            fuse = self._snapshot_fuse(k)
+
+        dev = []
+        if tri is not None:
+            neighbors, view1, views2 = tri
+            out = self._tri_batch_fn(self.cam, view1, views2)
+            dev.append(out[:3])
+        if fuse is not None:
+            _, chunks, args, back = fuse
+            for chunk, views in chunks:
+                bf_b, acc_b, _ = self._fuse_batch_fn(self.cam, views, *args)
+                dev.append((acc_b, bf_b))
+            for bsel, bargs, view in back:
+                best_feat, accept, _ = self._fuse_fn(self.cam, view, *bargs)
+                dev.append((accept, best_feat))
+        if not dev:
+            return
+        pulled = jax.device_get(dev)
+
+        with m.lock:
+            i = 0
+            if tri is not None:
+                match2_b, xw_b, ok_b = pulled[0]
+                i = 1
+                if m.kf_valid[k]:
+                    self._merge_new_points(k, neighbors, match2_b, xw_b, ok_b)
+            if fuse is not None:
+                _, chunks, args, back = fuse
+                fwd_sel = self._fuse_fwd_sel
+                for chunk, _views in chunks:
+                    acc_b, bf_b = pulled[i]
+                    i += 1
+                    for ti, kt in enumerate(chunk):
+                        if m.kf_valid[kt]:
+                            self._merge_fuse(fwd_sel, acc_b[ti], bf_b[ti], kt)
+                for bsel, _a, _v in back:
+                    accept, best_feat = pulled[i]
+                    i += 1
+                    if m.kf_valid[k]:
+                        self._merge_fuse(bsel, accept, best_feat, k)
+                touched = self._fuse_touched
+                if len(touched):
+                    m.update_point_stats(np.asarray(touched, np.int64))
+                if m.kf_valid[k]:
+                    m.update_connections(k)
 
     def _merge_new_points(self, k, neighbors, match2_b, xw_b, ok_b):
         created: List[int] = []
@@ -328,67 +397,78 @@ class LocalMapping:
         return float(np.median(z))
 
     # ------------------------------------------------------------------
+    def _snapshot_fuse(self, k: int):
+        """Host snapshot for SearchInNeighbors (call under the map lock).
+        Returns (targets, fwd_chunks, fwd_args, back) or None; stashes the
+        forward selection + touched ids on self for the merge half."""
+        nn = self.cfg.mapping.triangulation_neighbors
+        m = self.map
+        if not m.kf_valid[k]:
+            return None
+        targets: List[int] = []
+        for k1 in m.covisible_keyframes(k, nn):
+            k1 = int(k1)
+            if k1 not in targets:
+                targets.append(k1)
+            for k2 in m.covisible_keyframes(k1, 5):
+                k2 = int(k2)
+                if k2 != k and k2 not in targets:
+                    targets.append(k2)
+        if not targets:
+            return None
+
+        own_ids = m.kf_mp[k]
+        own_ids = own_ids[own_ids >= 0]
+        touched: List[int] = list(own_ids)
+
+        # forward: project k's points into ALL targets, 8 stacked views per
+        # dispatch (the reference's per-target loop, LocalMapping.cc:495-505,
+        # costs a device round trip each)
+        ids = np.asarray(own_ids, np.int64)
+        ids = ids[m.mp_valid[ids]]
+        sel = None
+        args = None
+        chunks = []
+        if len(ids):
+            P0 = self.cfg.orb.n_features  # one KF binds <= n_features pts
+            pad = P0 - len(ids)
+            sel = np.concatenate([ids, np.zeros(max(pad, 0), np.int64)])[:P0]
+            valid = np.zeros(P0, bool)
+            valid[: min(len(ids), P0)] = True
+            args = (
+                jnp.asarray(m.mp_pos[sel]),
+                jnp.asarray(m.mp_normal[sel]),
+                jnp.asarray(m.mp_min_dist[sel]),
+                jnp.asarray(m.mp_max_dist[sel]),
+                jnp.asarray(m.mp_desc[sel]),
+                jnp.asarray(valid),
+            )
+            TB = 8
+            for s in range(0, len(targets), TB):
+                chunk = targets[s : s + TB]
+                views = self._kf_views(chunk, unbound_only=False, T_pad=TB)
+                chunks.append((chunk, views))
+        # backward snapshot: all target points projected into k
+        fuse_ids = m.kf_mp[np.asarray(targets, np.int64)]
+        fuse_ids = np.unique(fuse_ids[fuse_ids >= 0])
+        back = self._snapshot_fuse_into(fuse_ids, k)
+        touched.extend(fuse_ids.tolist())
+        self._fuse_fwd_sel = sel
+        self._fuse_touched = touched
+        return targets, chunks, args, back
+
     def _fuse_neighbors(self, k: int):
         """SearchInNeighbors (LocalMapping.cc:460-543): two-hop target KFs;
         fuse current KF's points into targets and all target points into the
         current KF; then refresh point stats + covisibility. Lock discipline:
-        snapshots and merges under the map lock, device dispatches outside."""
-        nn = self.cfg.mapping.triangulation_neighbors
+        snapshots and merges under the map lock, device dispatches outside.
+        All dispatches are issued first, then ONE synchronized read."""
         m = self.map
         with m.lock:
-            if not m.kf_valid[k]:
-                return
-            targets: List[int] = []
-            for k1 in m.covisible_keyframes(k, nn):
-                k1 = int(k1)
-                if k1 not in targets:
-                    targets.append(k1)
-                for k2 in m.covisible_keyframes(k1, 5):
-                    k2 = int(k2)
-                    if k2 != k and k2 not in targets:
-                        targets.append(k2)
-            if not targets:
-                return
-
-            own_ids = m.kf_mp[k]
-            own_ids = own_ids[own_ids >= 0]
-            touched: List[int] = list(own_ids)
-
-            # forward: project k's points into ALL targets, 8 stacked views
-            # per dispatch (the reference's per-target loop,
-            # LocalMapping.cc:495-505, costs a device round trip each)
-            ids = np.asarray(own_ids, np.int64)
-            ids = ids[m.mp_valid[ids]]
-            sel = None
-            chunks = []
-            if len(ids):
-                P0 = self.cfg.orb.n_features  # one KF binds <= n_features pts
-                pad = P0 - len(ids)
-                sel = np.concatenate([ids, np.zeros(max(pad, 0), np.int64)])[:P0]
-                valid = np.zeros(P0, bool)
-                valid[: min(len(ids), P0)] = True
-                args = (
-                    jnp.asarray(m.mp_pos[sel]),
-                    jnp.asarray(m.mp_normal[sel]),
-                    jnp.asarray(m.mp_min_dist[sel]),
-                    jnp.asarray(m.mp_max_dist[sel]),
-                    jnp.asarray(m.mp_desc[sel]),
-                    jnp.asarray(valid),
-                )
-                TB = 8
-                for s in range(0, len(targets), TB):
-                    chunk = targets[s : s + TB]
-                    views = self._kf_views(chunk, unbound_only=False, T_pad=TB)
-                    chunks.append((chunk, views))
-            # backward snapshot: all target points projected into k
-            fuse_ids = m.kf_mp[np.asarray(targets, np.int64)]
-            fuse_ids = np.unique(fuse_ids[fuse_ids >= 0])
-            back = self._snapshot_fuse_into(fuse_ids, k)
-
-        # device dispatches — no lock held. ALL dispatches are issued first,
-        # then ONE synchronized read fetches every result (each np.asarray on
-        # the remote tunnel costs a ~25 ms round trip plus a stall on the
-        # dispatches that follow it).
+            fuse = self._snapshot_fuse(k)
+        if fuse is None:
+            return
+        _, chunks, args, back = fuse
         fwd_dev = []
         for chunk, views in chunks:
             bf_b, acc_b, _ = self._fuse_batch_fn(self.cam, views, *args)
@@ -400,25 +480,21 @@ class LocalMapping:
         pulled = jax.device_get(
             [(a, b) for _, a, b in fwd_dev] + [(a, b) for _, a, b in back_dev]
         )
-        fwd_results = [
-            (chunk, acc, bf)
-            for (chunk, _, _), (acc, bf) in zip(fwd_dev, pulled[: len(fwd_dev)])
-        ]
-        back_results = [
-            (bsel, acc, bf)
-            for (bsel, _, _), (acc, bf) in zip(back_dev, pulled[len(fwd_dev):])
-        ]
 
         with m.lock:
-            for chunk, acc_b, bf_b in fwd_results:
+            sel = self._fuse_fwd_sel
+            for (chunk, _, _), (acc_b, bf_b) in zip(fwd_dev, pulled[: len(fwd_dev)]):
                 for ti, kt in enumerate(chunk):
                     if m.kf_valid[kt]:
                         self._merge_fuse(sel, acc_b[ti], bf_b[ti], kt)
             if m.kf_valid[k]:
-                for bsel, accept, best_feat in back_results:
+                for (bsel, _, _), (accept, best_feat) in zip(
+                    back_dev, pulled[len(fwd_dev):]
+                ):
                     self._merge_fuse(bsel, accept, best_feat, k)
-            touched.extend(fuse_ids.tolist())
-            m.update_point_stats(np.asarray(touched, np.int64))
+            touched = self._fuse_touched
+            if len(touched):
+                m.update_point_stats(np.asarray(touched, np.int64))
             if m.kf_valid[k]:
                 m.update_connections(k)
 
@@ -558,7 +634,11 @@ class LocalMapping:
         # device solve — outside the map lock so tracking never stalls on it
         import time as _time
         t0 = _time.perf_counter()
-        if self.async_mode and self.cfg.optim.use_cg_local_ba:
+        if self.cfg.optim.use_cg_local_ba:
+            # sync and async share the SAME two chunk programs (one jit
+            # specialization set per bucket shape — each bucket costs ~10 s
+            # of XLA compile, so program variety is a first-order cost);
+            # abort checks are inert in sync mode
             out = self._solve_ba_abortable(prob)
             if out is None:
                 return  # aborted by a newly inserted keyframe

@@ -189,7 +189,15 @@ class System:
         frame = self._frame_u8_fn(jnp.asarray(stacked))
         t1 = time.perf_counter()
         with self.map.lock:
-            pose = self.tracker.track_stereo_frame(frame, self._frame_id, timestamp)
+            if self.async_mode:
+                # device-chained tracking lane: the per-frame result is
+                # consumed one frame late so its device->host read never
+                # stalls the chain (tracking.track_stereo_frame_pipelined)
+                pose = self.tracker.track_stereo_frame_pipelined(
+                    frame, self._frame_id, timestamp
+                )
+            else:
+                pose = self.tracker.track_stereo_frame(frame, self._frame_id, timestamp)
         t2 = time.perf_counter()
         self._post_track()
         t3 = time.perf_counter()
@@ -348,6 +356,10 @@ class System:
     def shutdown(self):
         """System::Shutdown (System.cc:352-376): finish the worker, wait for
         a running global BA, drain remaining work synchronously."""
+        with self.map.lock:
+            # drain the chained tracking lane (its last frame's result and
+            # keyframe decision are still pending)
+            self.tracker.flush_pipeline()
         if self.async_mode and self._worker is not None:
             self.local_mapper.request_finish()
             self._worker.join(timeout=300.0)

@@ -54,8 +54,12 @@ def _kmeans_binary(descs, k, rng, iters=8):
     centers = [descs[rng.integers(n)]]
     d2 = _hamming_np(descs, np.asarray(centers)).min(axis=1).astype(np.float64)
     for _ in range(k - 1):
-        p = d2 / max(d2.sum(), 1e-9)
-        centers.append(descs[rng.choice(n, p=p)])
+        s = d2.sum()
+        if s <= 0:
+            # all remaining descriptors coincide with a center: uniform pick
+            centers.append(descs[rng.integers(n)])
+            continue
+        centers.append(descs[rng.choice(n, p=d2 / s)])
         d2 = np.minimum(d2, _hamming_np(descs, centers[-1][None])[:, 0])
     centers = np.asarray(centers)
     for _ in range(iters):

@@ -55,7 +55,7 @@ def main():
     ):
         if hasattr(tr_mod.Tracking, name):
             timed(tr_mod.Tracking, name)
-    for name in ("_process", "_local_ba", "_create_new_points", "_fuse_neighbors",
+    for name in ("_process", "_local_ba", "_create_new_points", "_fuse_neighbors", "_mapping_device_pass",
                  "_cull_recent_points", "_cull_keyframes"):
         if hasattr(lm_mod.LocalMapping, name):
             timed(lm_mod.LocalMapping, name)
