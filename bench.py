@@ -38,8 +38,9 @@ def _frontend_fps(jax, jnp, cfg):
     motion_fn = make_motion_track_fn(cfg)
 
     rng = np.random.default_rng(0)
-    left = jnp.asarray(rng.uniform(0, 255, (cfg.height, cfg.width)), jnp.float32)
-    right = jnp.asarray(np.roll(np.asarray(left), -8, axis=1))
+    left_np = rng.uniform(0, 255, (cfg.height, cfg.width)).astype(np.float32)
+    left = jnp.asarray(left_np)
+    right = jnp.asarray(np.roll(left_np, -8, axis=1))
     n = cfg.orb.n_features
     last_xw = jnp.asarray(rng.uniform(-10, 10, (n, 3)), jnp.float32) + jnp.asarray([0, 0, 15.0])
     last_desc = jnp.asarray(rng.integers(0, 2**32, (n, 8), dtype=np.uint32))
@@ -130,6 +131,14 @@ def main():
     metrics_path = os.environ.get("BENCH_METRICS", "bench_metrics.ndjson")
     sys_.save_metrics_ndjson(metrics_path)
 
+    # speed-of-light utilization of the two dominant kernels (BASELINE.md
+    # north star; bandwidth-bound MFU analogue — utils/sol.py)
+    try:
+        from orb_slam2_2021_tpu.utils.sol import run_all as _sol_run
+        sol = [r.as_dict() for r in _sol_run()]
+    except Exception as e:  # never let the analysis kill the bench number
+        sol = [{"error": str(e)}]
+
     print(json.dumps({
         "metric": "e2e_stereo_slam_fps",
         "value": round(e2e_fps, 2),
@@ -145,6 +154,7 @@ def main():
             "n_map_points": int(sys_.map.mp_valid.sum()),
             "n_loops": int(sys_.loop_closer.n_loops) if sys_.loop_closer else 0,
             "median_frame_ms": round(1e3 * float(np.median(sys_.frame_times[WARMUP_FRAMES:])), 2),
+            "speed_of_light": sol,
         },
     }))
 

@@ -10,6 +10,11 @@ Usage:
 
 Options:
   --reduced        first 500 frames (scripts/stereo_kitti_red.sh semantics)
+  --pace           real-time pacing: sleep to the dataset timestamp schedule
+                   (arducam_images.cpp:165-172); prints how many frames the
+                   engine was LATE for — the 'keeps up at N fps' check
+  --async          threaded pipeline (tracking lane + mapping worker), the
+                   reference's thread layout
   --viz <dir>      write frame-overlay + map PNGs (Viewer equivalent)
   --publish        NDJSON TCP pub/sub of os2_pose/os2_pointcloud/os2_gm
                    (prints the port; the reference publishes these over ROS)
@@ -64,6 +69,40 @@ def _flag_value(name):
     return sys.argv[sys.argv.index(name) + 1] if name in sys.argv else None
 
 
+class Pacer:
+    """Real-time pacing to the dataset timestamp schedule — the reference
+    driver sleeps until each frame's capture time and a real camera would
+    drop frames the engine is late for (arducam_images.cpp:165-172)."""
+
+    def __init__(self, enabled: bool):
+        self.enabled = enabled
+        self.t0 = None
+        self.ts0 = None
+        self.late = 0
+        self.total = 0
+        self.max_late_s = 0.0
+
+    def wait(self, ts: float):
+        if not self.enabled:
+            return
+        now = time.perf_counter()
+        if self.t0 is None:
+            self.t0, self.ts0 = now, ts
+            return
+        due = self.t0 + (ts - self.ts0)
+        self.total += 1
+        if now < due:
+            time.sleep(due - now)
+        else:
+            self.late += 1
+            self.max_late_s = max(self.max_late_s, now - due)
+
+    def report(self):
+        if self.enabled and self.total:
+            print(f"pacing: late on {self.late}/{self.total} frames "
+                  f"(max {1e3*self.max_late_s:.0f} ms behind schedule)")
+
+
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "synthetic"
     profile_dir = _flag_value("--profile")
@@ -83,10 +122,13 @@ def main():
         cfg = synthetic_config(width=320, height=240)
         world = SyntheticStereoWorld(cfg, seed=3)
         gt = forward_trajectory(n, step=0.12)
-        sys_ = System(cfg, profile_dir=profile_dir)
+        sys_ = System(cfg, profile_dir=profile_dir,
+                      async_mode="--async" in sys.argv)
         viewer, spub, tcp = _setup_outputs(sys_)
+        pacer = Pacer("--pace" in sys.argv)
         for i, (R, t) in enumerate(gt):
             left, right = world.render(R, t)
+            pacer.wait(i * 0.1)
             pose = sys_.track_stereo(left, right, timestamp=i * 0.1)
             _per_frame_outputs(viewer, spub, left, i * 0.1, i)
             state = sys_.tracker.state.name
@@ -106,9 +148,12 @@ def main():
             sys.argv[2], max_frames=500 if "--reduced" in sys.argv else None
         )
         cfg = kitti_stereo_config()
-        sys_ = System(cfg, profile_dir=profile_dir)
+        sys_ = System(cfg, profile_dir=profile_dir,
+                      async_mode="--async" in sys.argv)
         viewer, spub, tcp = _setup_outputs(sys_)
+        pacer = Pacer("--pace" in sys.argv)
         for i, (ts, left, right) in enumerate(seq):
+            pacer.wait(ts)
             sys_.track_stereo(left, right, timestamp=ts)
             _per_frame_outputs(viewer, spub, left, ts, i)
         sys_.shutdown()
@@ -124,14 +169,19 @@ def main():
             if p in sys.argv[2]:
                 preset = p
         cfg = tum_rgbd_config(preset)
-        sys_ = System(cfg, profile_dir=profile_dir)
+        sys_ = System(cfg, profile_dir=profile_dir,
+                      async_mode="--async" in sys.argv)
+        pacer = Pacer("--pace" in sys.argv)
         for ts, rgb, depth in seq:
+            pacer.wait(ts)
             sys_.track_rgbd(rgb, depth, timestamp=ts)
         sys_.shutdown()
     else:
         raise SystemExit(__doc__)
 
     stats = sys_.timing_stats()
+    if 'pacer' in dir():
+        pacer.report()
     print(f"median tracking time: {stats['median_s']:.4f} s")
     print(f"mean tracking time:   {stats['mean_s']:.4f} s")
     sys_.save_trajectory_kitti("trajectory_kitti.txt")

@@ -210,6 +210,31 @@ class MapStore:
     ) -> int:
         k = self.next_kf
         self.ensure_kf_capacity(k + 1)
+        # one binding per point per keyframe: the matcher stages (motion +
+        # local fused step) can both bind the same landmark at two features;
+        # the reference's AddObservation silently refuses the duplicate and
+        # leaves the second feature binding dangling (MapPoint.cc:128-139) —
+        # we drop the duplicate binding instead so kf_mp <-> mp_obs stay
+        # exact mirrors (check_invariants)
+        mp_bind = np.asarray(mp_bind).copy()
+        # re-validate: between the tracker's match snapshot and this insert
+        # the mapping worker may have culled or replaced points (the
+        # reference re-checks isBad() in ProcessNewKeyFrame,
+        # LocalMapping.cc:141-160)
+        sel = np.clip(mp_bind, 0, None)
+        live = np.where(
+            (mp_bind >= 0) & ~self.mp_valid[sel], self.mp_replaced_by[sel], mp_bind
+        )
+        live_sel = np.clip(live, 0, None)
+        mp_bind = np.where(
+            (live >= 0) & self.mp_valid[live_sel], live, -1
+        )
+        bound_feats = np.nonzero(mp_bind >= 0)[0]
+        if len(bound_feats):
+            _, first = np.unique(mp_bind[bound_feats], return_index=True)
+            dup = np.ones(len(bound_feats), bool)
+            dup[first] = False
+            mp_bind[bound_feats[dup]] = -1
         self.kf_valid[k] = True
         self.kf_R[k] = R_cw
         self.kf_t[k] = t_cw
@@ -560,6 +585,69 @@ class MapStore:
             "ids": ids,
         }
         return snap
+
+    def check_invariants(self, strict: bool = True):
+        """Cross-check the SoA map's bidirectional bookkeeping — the
+        invariants the reference maintains with per-object mutexes
+        (KeyFrame/MapPoint mutexes, SURVEY.md §2 mutex inventory) and we
+        maintain with the coarse map lock + snapshot discipline. Used by the
+        thread-interleaving stress test (our sanitizer substitute: the
+        reference ships with no TSan either, SURVEY.md §5).
+
+        Returns a list of violation strings (empty = consistent)."""
+        bad = []
+        kfs = np.nonzero(self.kf_valid)[0]
+        # 1. every keyframe binding is mirrored in the point's observation list
+        for k in kfs:
+            mp = self.kf_mp[k]
+            feats = np.nonzero(mp >= 0)[0]
+            for f in feats:
+                m = int(mp[f])
+                if not self.mp_valid[m]:
+                    bad.append(f"kf {k} feat {f} bound to dead point {m}")
+                    continue
+                n = self.mp_obs_n[m]
+                idx = np.nonzero(self.mp_obs_kf[m, :n] == k)[0]
+                if len(idx) == 0:
+                    bad.append(f"kf {k} feat {f} -> point {m} missing reverse obs")
+                elif int(self.mp_obs_feat[m, idx[0]]) != int(f):
+                    bad.append(
+                        f"kf {k} point {m}: obs feat "
+                        f"{int(self.mp_obs_feat[m, idx[0]])} != bound feat {f}"
+                    )
+        # 2. every observation points back at a live, correctly-bound KF slot
+        for m in np.nonzero(self.mp_valid)[0]:
+            n = self.mp_obs_n[m]
+            obs_k = self.mp_obs_kf[m, :n]
+            if (obs_k < 0).any():
+                bad.append(f"point {m}: -1 inside obs list (n={n})")
+                continue
+            for i in range(n):
+                k, f = int(obs_k[i]), int(self.mp_obs_feat[m, i])
+                if not self.kf_valid[k]:
+                    bad.append(f"point {m} observed by dead kf {k}")
+                elif int(self.kf_mp[k, f]) != m:
+                    bad.append(
+                        f"point {m} obs ({k},{f}) not mirrored: kf_mp={int(self.kf_mp[k, f])}"
+                    )
+            # stereo obs count 2 (MapPoint.cc:128-139)
+            expect = sum(
+                2 if self.kf_ur[int(obs_k[i]), int(self.mp_obs_feat[m, i])] >= 0 else 1
+                for i in range(n) if self.kf_valid[int(obs_k[i])]
+            )
+            if strict and expect != int(self.mp_n_obs[m]):
+                bad.append(f"point {m}: mp_n_obs {int(self.mp_n_obs[m])} != {expect}")
+        # 3. covisibility symmetry + no self-parenting cycles among live KFs
+        for k in kfs:
+            w = self.covis[k]
+            nbs = np.nonzero(w > 0)[0]
+            for nb in nbs:
+                if self.kf_valid[nb] and self.covis[nb, k] != w[nb]:
+                    bad.append(f"covis asymmetric ({k},{nb}): {w[nb]} vs {self.covis[nb, k]}")
+            p = int(self.parent[k])
+            if p == k:
+                bad.append(f"kf {k} is its own parent")
+        return bad
 
     def increment_visible(self, ids: np.ndarray):
         ids = ids[ids >= 0]

@@ -557,6 +557,12 @@ class LocalMapping:
                 else:
                     self.map.replace_map_point(existing, m)
             else:
+                # the point may already live at another feature of kt (the
+                # batched fuse can hit two features); AddObservation would
+                # refuse and leave the binding dangling — skip instead
+                n = self.map.mp_obs_n[m]
+                if (self.map.mp_obs_kf[m, :n] == kt).any():
+                    continue
                 self.map.kf_mp[kt, f] = m
                 self.map._add_observation(m, kt, f)
 

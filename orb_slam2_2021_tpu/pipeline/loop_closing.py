@@ -394,6 +394,9 @@ class LoopClosing:
             if cur >= 0 and self.map.mp_valid[cur]:
                 self.map.replace_map_point(cur, m_loop)
             else:
+                n = self.map.mp_obs_n[m_loop]
+                if (self.map.mp_obs_kf[m_loop, :n] == k).any():
+                    continue  # already bound at another feature of k
                 self.map.kf_mp[k, f] = m_loop
                 self.map._add_observation(m_loop, k, int(f))
 

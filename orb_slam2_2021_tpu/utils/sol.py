@@ -1,0 +1,140 @@
+"""Speed-of-light models for the two dominant device kernels (BASELINE.md
+north star: 'BA and matching kernels at speed-of-light per chip').
+
+Both kernels are HBM-bandwidth-bound on TPU, not MXU-bound — the analysis
+therefore models minimum time as bytes_moved / HBM_BW and reports achieved
+utilization against that bound (an MFU-style number for bandwidth-bound
+code). FLOP bounds are reported alongside for context.
+
+Hardware model (TPU v5e / 'v5 lite', the chip the driver benches on):
+  HBM bandwidth ~819 GB/s; bf16 MXU ~197 TFLOP/s; f32 VPU ~4 TFLOP/s.
+The model is parameterized so other chips can be described.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+import numpy as np
+
+HBM_BW = 819e9        # bytes/s (v5e)
+PEAK_VPU_F32 = 4e12   # FLOP/s (order of magnitude; VPU-bound ops)
+
+
+@dataclass
+class SolReport:
+    name: str
+    achieved_ms: float
+    light_ms: float         # max(bytes/BW, flops/peak)
+    bytes_moved: float
+    flops: float
+
+    @property
+    def pct_of_light(self) -> float:
+        return 100.0 * self.light_ms / max(self.achieved_ms, 1e-9)
+
+    def as_dict(self):
+        return {
+            "name": self.name,
+            "achieved_ms": round(self.achieved_ms, 3),
+            "light_ms": round(self.light_ms, 4),
+            "pct_of_light": round(self.pct_of_light, 1),
+        }
+
+
+def _time_device(fn, n=10):
+    import jax
+
+    out = fn()
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn()
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n
+
+
+def hamming_matrix_sol(n=2000, m=2000) -> SolReport:
+    """The matcher's core: [N, 8] x [M, 8] uint32 popcount-Hamming matrix.
+
+    Traffic model: descriptors are tiny (64 KB); the [N, M] u16/u32 distance
+    matrix write dominates at N*M*4 bytes (materialized once, then consumed
+    by the row-argmin in the same fusion — count read+write once each).
+    FLOPs: N*M*8 (xor+popcount+add) lane-ops x ~3."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.hamming import hamming_matrix
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.integers(0, 2 ** 32, (n, 8), dtype=np.uint32))
+    b = jnp.asarray(rng.integers(0, 2 ** 32, (m, 8), dtype=np.uint32))
+    f = jax.jit(hamming_matrix)
+    dt = _time_device(lambda: f(a, b))
+    bytes_moved = 2.0 * n * m * 4 + (n + m) * 32
+    flops = 3.0 * n * m * 8
+    light = max(bytes_moved / HBM_BW, flops / PEAK_VPU_F32)
+    return SolReport("hamming_matrix_2k", 1e3 * dt, 1e3 * light, bytes_moved, flops)
+
+
+def ba_lm_step_sol(C=128, P=2048, Q=8) -> SolReport:
+    """One RCS LM step (optim/ba_cg._cg_lm_step_rcs) at the steady local-BA
+    bucket. Traffic model (f32, read+write where materialized):
+      per-obs arrays: r/Jc/Jp/chi2 (3+18+9+1), weights (2), Uo/Vo/Wcp/bco/bpo
+      (36+9+18+6+3) ~ 105 f32 per obs x 2 (produce+consume)
+      M1/M2: 2 x [C, P, 18] produce+consume
+      S matmul: [6C, 3P] x 2 read + [6C, 6C] write
+      second residual eval for the LM cost gate: ~33 f32 per obs x 2."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import kitti_stereo_config
+    from ..geometry.camera import PinholeCamera
+    from ..optim.ba import BAProblem
+    from ..optim.ba_cg import _cam_onehot, _cg_lm_step_rcs
+
+    cfg = kitti_stereo_config()
+    cam = PinholeCamera.create(cfg.fx, cfg.fy, cfg.cx, cfg.cy, cfg.bf,
+                               cfg.width, cfg.height)
+    rng = np.random.default_rng(0)
+    O = P * Q
+    xw = rng.uniform(-10, 10, (P, 3)).astype(np.float32) + np.array([0, 0, 20], np.float32)
+    obs_pt = np.repeat(np.arange(P, dtype=np.int32), Q)
+    obs_cam = rng.integers(0, C, O).astype(np.int32)
+    pc = xw[obs_pt] + rng.uniform(-0.1, 0.1, (C, 3)).astype(np.float32)[obs_cam]
+    u = cfg.fx * pc[:, 0] / pc[:, 2] + cfg.cx
+    v = cfg.fy * pc[:, 1] / pc[:, 2] + cfg.cy
+    uvr = np.stack([u, v, u - cfg.bf / pc[:, 2]], 1).astype(np.float32)
+    prob = BAProblem(
+        R=jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (C, 1, 1))),
+        t=jnp.zeros((C, 3), jnp.float32),
+        xw=jnp.asarray(xw),
+        cam_free=jnp.asarray(np.arange(C) > 0),
+        obs_cam=jnp.asarray(obs_cam), obs_pt=jnp.asarray(obs_pt),
+        obs_uvr=jnp.asarray(uvr),
+        obs_inv_sigma2=jnp.ones(O, jnp.float32),
+        obs_valid=jnp.ones(O, bool), pt_obs=None,
+    )
+    onehot = _cam_onehot(prob)
+    ocfg = cfg.optim
+
+    step = jax.jit(lambda: _cg_lm_step_rcs(
+        cam, prob, onehot, prob.R, prob.t, prob.xw,
+        prob.obs_valid.astype(jnp.float32), jnp.float32(1e-4),
+        jnp.bool_(True), ocfg, ocfg.cg_iters,
+    ))
+    dt = _time_device(step)
+    bytes_obs = O * 105 * 4 * 2
+    bytes_m = 2 * C * P * 18 * 4 * 2
+    bytes_s = (2 * 6 * C * 3 * P + 36 * C * C) * 4
+    bytes_cost = O * 33 * 4 * 2
+    bytes_moved = bytes_obs + bytes_m + bytes_s + bytes_cost
+    flops_s = 2.0 * (6 * C) * (6 * C) * (3 * P)
+    light = max(bytes_moved / HBM_BW, flops_s / 197e12)
+    return SolReport(f"ba_lm_step_C{C}_P{P}_Q{Q}", 1e3 * dt, 1e3 * light,
+                     bytes_moved, flops_s)
+
+
+def run_all():
+    return [hamming_matrix_sol(), ba_lm_step_sol()]
