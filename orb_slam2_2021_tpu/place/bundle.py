@@ -15,7 +15,12 @@ import jax.numpy as jnp
 from .kf_database import KeyFrameDatabase
 from .vocab import BinaryVocabulary, make_transform_fn
 
-PACKAGED_VOCAB = os.path.join(os.path.dirname(__file__), "..", "data", "vocab_k10_L4.npz")
+# default: the 10^5-word tree (k=10, L=5) trained on 4 procedural texture
+# families + photometric augmentation (scripts/train_vocab_l5.py); the
+# smaller L4 tree remains packaged for fast CPU tests via VOCAB_SMALL
+_DATA = os.path.join(os.path.dirname(__file__), "..", "data")
+PACKAGED_VOCAB = os.path.join(_DATA, "vocab_k10_L5.npz")
+PACKAGED_VOCAB_SMALL = os.path.join(_DATA, "vocab_k10_L4.npz")
 
 
 class PlaceRecognition:
@@ -31,10 +36,11 @@ class PlaceRecognition:
 
     @staticmethod
     def load_default() -> Optional["PlaceRecognition"]:
-        path = os.path.abspath(PACKAGED_VOCAB)
-        if not os.path.exists(path):
-            return None
-        return PlaceRecognition(BinaryVocabulary.load(path))
+        for path in (PACKAGED_VOCAB, PACKAGED_VOCAB_SMALL):
+            path = os.path.abspath(path)
+            if os.path.exists(path):
+                return PlaceRecognition(BinaryVocabulary.load(path))
+        return None
 
     @staticmethod
     def from_file(path: str) -> "PlaceRecognition":

@@ -47,7 +47,10 @@ class TestVocabulary:
     def test_packaged_vocab_loads(self):
         pr = PlaceRecognition.load_default()
         assert pr is not None, "packaged vocabulary missing"
-        assert pr.voc.n_words == 10000
+        # default is the 10^5-word L5 tree (scripts/train_vocab_l5.py);
+        # the L4 fallback has 10^4
+        assert pr.voc.n_words in (100_000, 10_000)
+        assert pr.voc.k == 10
 
     def test_l1_score_identical(self, small_voc, rng):
         words = rng.integers(0, small_voc.n_words, 100)
