@@ -293,6 +293,26 @@ def _mat9(R, t):
     return T.at[:3, 3].set(t)
 
 
+def _rigid_mul(Ra, ta, Rb, tb):
+    """(Ra, ta) @ (Rb, tb) at HIGHEST precision — the chained pose math runs
+    every frame and feeds back into itself; the TPU's default bf16 matmul
+    passes compound into visible drift within tens of frames."""
+    from ..xmath import HIGHEST as _HI
+
+    R = jnp.matmul(Ra, Rb, precision=_HI)
+    t = jnp.matmul(Ra, tb[:, None], precision=_HI)[:, 0] + ta
+    return R, t
+
+
+def _rigid_inv(R, t):
+    """Analytic SE3 inverse: (R^T, -R^T t) — no linalg.inv, full precision."""
+    from ..xmath import HIGHEST as _HI
+
+    Ri = R.T
+    ti = -jnp.matmul(Ri, t[:, None], precision=_HI)[:, 0]
+    return Ri, ti
+
+
 def fused_track_step_chained(
     cam: PinholeCamera,
     kp: Keypoints,
@@ -339,13 +359,15 @@ def fused_track_step_chained(
         -1,
     )
 
-    # constant-velocity prediction on device (Tracking.cc:887-948 mVelocity)
-    T_cur = _mat9(R_cur, t_cur)
-    T_prev = _mat9(R_prev, t_prev)
-    vel = T_cur @ jnp.linalg.inv(T_prev)
-    T_pred = jnp.where(ok_prev, vel @ T_cur, T_cur)
-    R_pred = T_pred[:3, :3]
-    t_pred = T_pred[:3, 3]
+    # constant-velocity prediction on device (Tracking.cc:887-948 mVelocity):
+    # T_pred = (T_cur T_prev^-1) T_cur, all in analytic rigid ops at HIGHEST
+    # precision (this chain feeds back into itself every frame)
+    Rpi, tpi = _rigid_inv(R_prev, t_prev)
+    Rv, tv = _rigid_mul(R_cur, t_cur, Rpi, tpi)
+    Rp, tp = _rigid_mul(Rv, tv, R_cur, t_cur)
+    R_pred = jnp.where(ok_prev, Rp, R_cur)
+    t_pred = jnp.where(ok_prev, tp, t_cur)
+    T_pred = _mat9(R_pred, t_pred)
 
     # previous frame's landmark geometry from the snapshot
     alive = (snap_slot_prev >= 0) & jnp.take(
