@@ -56,14 +56,12 @@ def _frontend_fps(jax, jnp, cfg):
             last_xw, last_desc, last_oct, last_ang, last_valid, jnp.float32(7.0),
         )
 
-    out = step(left, right)
-    jax.block_until_ready(out[0])
-    iters = 30
-    t_start = time.perf_counter()
-    for _ in range(iters):
-        out = step(left, right)
-    jax.block_until_ready(out[0])
-    return iters / (time.perf_counter() - t_start)
+    from orb_slam2_2021_tpu.utils.timing import time_device
+
+    # forced-readback fence (utils/timing.py): block_until_ready under-waits
+    # on this install and turned r03's number into a dispatch rate
+    dt = time_device(lambda: step(left, right), n=30)
+    return 1.0 / dt
 
 
 def main():
@@ -142,6 +140,16 @@ def main():
     metrics_path = os.environ.get("BENCH_METRICS", "bench_metrics.ndjson")
     sys_.save_metrics_ndjson(metrics_path)
 
+    # lost-frame accounting IN the headline JSON: a run that loses tracking
+    # must not be able to print a clean-looking number (VERDICT r3, Weak #2)
+    lost_frames = [r["frame_id"] for r in sys_.metrics if r.get("state") == "LOST"]
+    lost_spans = []
+    for f in lost_frames:
+        if lost_spans and f == lost_spans[-1][1] + 1:
+            lost_spans[-1][1] = f
+        else:
+            lost_spans.append([f, f])
+
     # speed-of-light utilization of the two dominant kernels (BASELINE.md
     # north star; bandwidth-bound MFU analogue — utils/sol.py)
     try:
@@ -164,6 +172,9 @@ def main():
             "n_keyframes": int(sys_.map.n_kf),
             "n_map_points": int(sys_.map.mp_valid.sum()),
             "n_loops": int(sys_.loop_closer.n_loops) if sys_.loop_closer else 0,
+            "n_frames": len(sys_.metrics),
+            "n_lost_frames": len(lost_frames),
+            "lost_spans": lost_spans,
             "median_frame_ms": round(1e3 * float(np.median(sys_.frame_times[WARMUP_FRAMES:])), 2),
             "speed_of_light": sol,
         },

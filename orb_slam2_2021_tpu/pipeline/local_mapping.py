@@ -579,6 +579,8 @@ class LocalMapping:
         O = ocfg.local_ba_max_obs
         Q = ocfg.local_ba_max_obs_per_point
 
+        import time as _time
+        _ta = _time.perf_counter()
         with self.map.lock:
             # local cameras: k + covisibles (Optimizer.cc:456-476)
             local = [k] + [int(x) for x in self.map.covisible_keyframes(k, ocfg.local_ba_max_cams - 1)]
@@ -638,7 +640,12 @@ class LocalMapping:
             )
 
         # device solve — outside the map lock so tracking never stalls on it
-        import time as _time
+        self.sect_times["ba.assemble"] += _time.perf_counter() - _ta
+        from ..utils.timing import fence as _fence
+        _tf = _time.perf_counter()
+        _fence(prob.obs_uvr)  # drain the assembly uploads (separates upload
+        #                       cost from dispatch cost in the profile)
+        self.sect_times["ba.upload_fence"] += _time.perf_counter() - _tf
         t0 = _time.perf_counter()
         if self.cfg.optim.use_cg_local_ba:
             # sync and async share the SAME two chunk programs (one jit
@@ -655,11 +662,22 @@ class LocalMapping:
         # remote-attached TPU each np.asarray costs a ~25 ms round trip plus a
         # pipeline stall on the dispatches that follow it
         Rn, tn, xwn, inlier = jax.device_get(out)
+        t2 = _time.perf_counter()
         self.sect_times[f"ba.dispatch[P={prob.xw.shape[0]},Q={prob.obs_cam.shape[0]//prob.xw.shape[0]}]"] += t1 - t0
-        self.sect_times["ba.pull"] += _time.perf_counter() - t1
+        self.sect_times["ba.pull"] += t2 - t1
         self.ba_solve_times.append(
-            (_time.perf_counter() - t0, ocfg.local_ba_iters1 + ocfg.local_ba_iters2)
+            (t2 - t0, ocfg.local_ba_iters1 + ocfg.local_ba_iters2)
         )
+        # per-event log for profiling (scripts/probe_ba_events.py): separates
+        # cold bucket-compile events from the steady state
+        if not hasattr(self, "ba_events"):
+            self.ba_events = []
+        self.ba_events.append({
+            "P": int(prob.xw.shape[0]),
+            "Q": int(prob.obs_cam.shape[0] // prob.xw.shape[0]),
+            "dispatch_ms": 1e3 * (t1 - t0),
+            "pull_ms": 1e3 * (t2 - t1),
+        })
 
         with self.map.lock:
             # write back optimized poses/points, skipping anything erased

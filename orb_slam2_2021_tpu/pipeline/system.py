@@ -185,14 +185,22 @@ class System:
         if il.dtype == np.uint8 and ir.dtype == np.uint8:
             stacked = np.stack([il, ir])
         else:
-            stacked = np.clip(np.stack([il, ir]), 0, 255).astype(np.uint8)
+            stacked = np.stack([il, ir])
+            if stacked.max() <= 1.0:
+                # float images normalized to [0,1] would quantize to
+                # near-binary under the uint8 cast (ADVICE r3 #6); the API
+                # contract is 0-255 intensity either way
+                stacked = stacked * 255.0
+            stacked = np.clip(stacked, 0, 255).astype(np.uint8)
         frame = self._frame_u8_fn(jnp.asarray(stacked))
         t1 = time.perf_counter()
         with self.map.lock:
-            if self.async_mode:
+            if self.async_mode and self.cfg.tracking.chained_lane:
                 # device-chained tracking lane: the per-frame result is
                 # consumed one frame late so its device->host read never
-                # stalls the chain (tracking.track_stereo_frame_pipelined)
+                # stalls the chain (tracking.track_stereo_frame_pipelined).
+                # Opt-in (TrackingConfig.chained_lane): the lane must prove
+                # sync parity before carrying the bench (VERDICT r3 item 2)
                 pose = self.tracker.track_stereo_frame_pipelined(
                     frame, self._frame_id, timestamp
                 )

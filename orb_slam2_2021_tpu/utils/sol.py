@@ -44,15 +44,12 @@ class SolReport:
 
 
 def _time_device(fn, n=10):
-    import jax
+    # forced-readback fence timer: block_until_ready is not a reliable
+    # completion fence on the tunneled-TPU install (utils/timing.py docstring;
+    # VERDICT r3 Missing #3)
+    from .timing import time_device
 
-    out = fn()
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn()
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n
+    return time_device(fn, n=n)
 
 
 def hamming_matrix_sol(n=2000, m=2000) -> SolReport:
