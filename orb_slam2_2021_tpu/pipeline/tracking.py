@@ -569,6 +569,7 @@ class Tracking:
             self._apply_matches(lm["ids"], slot, inlier)
             self.last_pose = (R, t)
             self.vo_mode = n_map < 10
+            self.n_inliers_last = n_in
             return n_in > 20
         if n_map < self.cfg.tracking.min_inliers_track:
             return False
