@@ -979,6 +979,14 @@ class Tracking:
         lf = self.last_frame_data
         if lf is None:
             return False
+        if self.velocity is None:
+            # without a motion model the chained step would predict zero
+            # motion and search a 7 px window around it — exactly the
+            # situation the per-frame path routes to the WINDOW-FREE
+            # reference-KF matcher (Tracking.cc:777-819). Stay synchronous
+            # until a velocity exists (measured: seeding here broke the
+            # chain immediately with nin1=5 on an orbit at 4.4 deg/frame).
+            return False
         ids = np.where(lf["mp"] >= 0, lf["mp"], -1)
         live = self.map.resolve_replaced(ids)
         alive = (live >= 0) & self.map.mp_valid[np.clip(live, 0, None)]
@@ -994,6 +1002,16 @@ class Tracking:
         slots = np.where(
             lm_ids >= 0, self._id2slot[np.clip(lm_ids, 0, None)], -1
         ).astype(np.int32)
+        import os as _os
+        if _os.environ.get("CHAIN_DEBUG"):
+            n_b = int((lm_ids >= 0).sum())
+            n_s = int((slots >= 0).sum())
+            ok_rt = bool(
+                (self._snap_ids[slots[slots >= 0]] == lm_ids[slots >= 0]).all()
+            )
+            print(f"[init_chain] bound={n_b} in_snapshot={n_s} "
+                  f"roundtrip_ok={ok_rt} ref_kf={self.ref_kf} "
+                  f"n_local_kfs={len(local_kfs)}", flush=True)
 
         R, t = self.last_pose
         header = np.zeros(32, np.float32)
@@ -1055,6 +1073,7 @@ class Tracking:
         if self._chain_dirty or lf_mp is None:
             # the step consumed a corrupted chain (a predecessor failed):
             # discard and reprocess synchronously
+            self.sect_counts["chain.discard_dirty"] += 1
             self._chain_dirty = False
             self._chain_state = None
             self.track_stereo_frame(frame, frame_id, timestamp)
@@ -1064,9 +1083,14 @@ class Tracking:
         nm1, nin1, nin2 = int(f[12]), int(f[13]), int(f[14])
         n = self.cfg.orb.n_features
         n_kf0 = self.map.n_kf
+        if not hasattr(self, "chain_log"):
+            self.chain_log = []
         if nm1 < 20 or nin1 < self.cfg.tracking.min_inliers_track:
             # motion lane failed: break the chain, reprocess via the
             # reference-KF path (the next pending frame used garbage state)
+            self.sect_counts["chain.break_motion"] += 1
+            self.chain_log.append(
+                ("break", frame_id, nm1, nin1, nin2))
             self._chain_dirty = self._pend is not None
             self._chain_state = None
             self.velocity = None
@@ -1112,10 +1136,35 @@ class Tracking:
                     ).astype(np.int32)
                     self._remap_dev = jnp.asarray(remap)
         else:
+            self.sect_counts["chain.break_localmap"] += 1
             self.last_pose = (f[18:27].reshape(3, 3).copy(), f[27:30].copy())
             self._chain_dirty = self._pend is not None
             self._chain_state = None
+        import os as _os
+        if _os.environ.get("CHAIN_DEBUG"):
+            self.chain_log.append(("ok" if ok else "reject?", frame_id,
+                                   nm1, nin1, nin2))
         self._finish_frame(frame, frame_id, timestamp, ok, n_kf0)
+        if not ok:
+            self.chain_log.append(("reject", frame_id, nm1, nin1, nin2))
+        if ok and self.map.n_kf > n_kf0:
+            self.sect_counts["chain.kf_resync"] += 1
+            self.chain_log.append(("kf", frame_id, nm1, nin1, nin2))
+            # a keyframe was just created from this frame: its new map-point
+            # bindings exist only on the host — the device chain would keep
+            # tracking WITHOUT them, starving the binding count, which (a)
+            # makes the NEXT consumed frame's inlier count fall under the
+            # c2 gate and spawn a spurious second keyframe one frame later
+            # (measured: KFs in pairs 6/7, 17/18, 30/31 ... on the orbit),
+            # and (b) collapses nin1 on the frame after that (measured
+            # breaks with nin1 <= 8). Resynchronize: drop the chain AND
+            # reprocess the in-flight frame synchronously at the flush so
+            # its bindings (and KF decision) see the new points. Pipelined
+            # between keyframes, sync at keyframes — KF creation is the
+            # reference's synchronization point too (Tracking.cc:1082-1162
+            # runs on the tracking thread).
+            self._chain_state = None
+            self._chain_dirty = self._pend is not None
 
     # ------------------------------------------------------------------
     def _track_local_map(self, frame: Frame, frame_id: int) -> bool:
