@@ -108,12 +108,22 @@ def main():
             r=np.stack([np.clip(r, 0, 255).astype(np.uint8) for _, r in frames]),
         )
 
+    # drive with a one-frame prefetch: frame i+1's upload + frame build
+    # overlap frame i's tracking (System.prefetch_stereo — the host-side
+    # analogue of the reference's dataset-reader loop). The ~45 ms uint8
+    # upload otherwise serializes inside every frame on the tunneled TPU.
     sys_ = System(cfg, async_mode=True)
+    nxt = sys_.prefetch_stereo(frames[0][0], frames[0][1])
     for i in range(WARMUP_FRAMES):
-        sys_.track_stereo(frames[i][0], frames[i][1], timestamp=i * 0.1)
+        cur = nxt
+        nxt = sys_.prefetch_stereo(frames[i + 1][0], frames[i + 1][1])
+        sys_.track_stereo(cur, timestamp=i * 0.1)
     t_start = time.perf_counter()
     for i in range(WARMUP_FRAMES, len(frames)):
-        sys_.track_stereo(frames[i][0], frames[i][1], timestamp=i * 0.1)
+        cur = nxt
+        if i + 1 < len(frames):
+            nxt = sys_.prefetch_stereo(frames[i + 1][0], frames[i + 1][1])
+        sys_.track_stereo(cur, timestamp=i * 0.1)
     e2e_dt = time.perf_counter() - t_start
     e2e_fps = (len(frames) - WARMUP_FRAMES) / e2e_dt
     sys_.shutdown()

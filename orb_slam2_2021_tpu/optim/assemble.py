@@ -36,6 +36,7 @@ def assemble_ba_problem(
     Q_pad: Optional[int] = None,
     obs_per_point_cap: Optional[int] = None,
     pq_layout: bool = False,
+    device: bool = True,
 ) -> Tuple[BAProblem, np.ndarray, np.ndarray, np.ndarray]:
     """Build a padded BAProblem from map-store state.
 
@@ -144,14 +145,23 @@ def assemble_ba_problem(
     xw = np.zeros((P_pad, 3), np.float32)
     xw[:p] = m.mp_pos[mp]
 
+    # device=False returns host numpy so callers can release the map lock
+    # BEFORE paying the uploads (the worker's lock time otherwise blocks the
+    # tracking lane for the upload duration); upload_problem converts.
+    conv = jnp.asarray if device else (lambda x: x)
     prob = BAProblem(
-        R=jnp.asarray(Rb), t=jnp.asarray(tb), xw=jnp.asarray(xw),
-        obs_cam=jnp.asarray(obs_cam), obs_pt=jnp.asarray(obs_pt),
-        obs_uvr=jnp.asarray(obs_uvr), obs_inv_sigma2=jnp.asarray(obs_is2),
-        obs_valid=jnp.asarray(obs_valid), pt_obs=jnp.asarray(pt_obs),
-        cam_free=jnp.asarray(free),
+        R=conv(Rb), t=conv(tb), xw=conv(xw),
+        obs_cam=conv(obs_cam), obs_pt=conv(obs_pt),
+        obs_uvr=conv(obs_uvr), obs_inv_sigma2=conv(obs_is2),
+        obs_valid=conv(obs_valid), pt_obs=conv(pt_obs),
+        cam_free=conv(free),
     )
     return prob, obs_kf_src, obs_fe_src, obs_mp_src
+
+
+def upload_problem(prob: BAProblem) -> BAProblem:
+    """Convert a host-assembled (device=False) BAProblem to device arrays."""
+    return BAProblem(*(None if v is None else jnp.asarray(v) for v in prob))
 
 
 def global_problem_shapes(n_cams: int, n_pts: int, n_obs: int) -> Tuple[int, int, int]:

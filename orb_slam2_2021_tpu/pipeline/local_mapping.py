@@ -36,11 +36,98 @@ from ..optim.ba import make_local_ba
 from ..optim.ba_cg import make_local_ba_cg_pq
 from .mapping_steps import (
     KFView,
-    make_fuse_batch_fn,
+    make_fuse_batch_packed_fn,
     make_fuse_fn,
+    make_fuse_packed_fn,
     make_triangulate_batch_fn,
     make_triangulate_fn,
+    pack_fuse_points,
 )
+
+
+class DeviceKFStore:
+    """Device-resident mirror of per-keyframe FEATURE data (descriptors,
+    coordinates, stereo/depth, octaves, validity).
+
+    Features are immutable once a keyframe exists, so they cross the
+    host->device boundary exactly ONCE — for keyframes promoted from a live
+    tracking frame they arrive FREE (the frame's arrays are already on
+    device). Every later triangulation / fuse pass gathers its stacked
+    [T, N, ...] views on device instead of re-uploading ~1.4 MB per pass
+    over the ~40 MB/s tunneled uplink (measured: the re-upload dominated the
+    per-KF mapping pass at 66-207 ms). Mutable per-pass state (poses, the
+    unbound/valid masks) stays host-computed and uploads small.
+
+    The reference keeps all of this in shared host memory and pays nothing
+    to 'upload' (KeyFrame.cc fields); this store is the TPU-native
+    equivalent of that locality."""
+
+    def __init__(self, cap_kf: int, n_feat: int):
+        self.cap = cap_kf
+        self.desc = jnp.zeros((cap_kf, n_feat, 8), jnp.uint32)
+        self.xy = jnp.zeros((cap_kf, n_feat, 2), jnp.float32)
+        self.ur = jnp.full((cap_kf, n_feat), -1.0, jnp.float32)
+        self.depth = jnp.full((cap_kf, n_feat), -1.0, jnp.float32)
+        self.octave = jnp.zeros((cap_kf, n_feat), jnp.int32)
+        self.uploaded = np.zeros(cap_kf, bool)
+
+    def set_from_frame(self, k: int, frame):
+        """Adopt a live tracking frame's device arrays (zero upload)."""
+        self.desc = self.desc.at[k].set(frame.kp.desc)
+        self.xy = self.xy.at[k].set(frame.kp.xy)
+        self.ur = self.ur.at[k].set(frame.u_right)
+        self.depth = self.depth.at[k].set(frame.depth)
+        self.octave = self.octave.at[k].set(frame.kp.octave)
+        self.uploaded[k] = True
+
+    def set_from_host(self, k: int, m: MapStore):
+        """One-off upload from the host map store (load/boot paths)."""
+        self.desc = self.desc.at[k].set(jnp.asarray(m.kf_desc[k]))
+        self.xy = self.xy.at[k].set(jnp.asarray(m.kf_xy[k]))
+        self.ur = self.ur.at[k].set(jnp.asarray(m.kf_ur[k]))
+        self.depth = self.depth.at[k].set(jnp.asarray(m.kf_depth[k]))
+        self.octave = self.octave.at[k].set(jnp.asarray(m.kf_octave[k]))
+        self.uploaded[k] = True
+
+    def maybe_grow(self, cap_kf: int):
+        if cap_kf <= self.cap:
+            return
+        def grow(a, fill=0):
+            new = jnp.full((cap_kf,) + a.shape[1:], fill, a.dtype)
+            return new.at[: self.cap].set(a)
+        self.desc = grow(self.desc)
+        self.xy = grow(self.xy)
+        self.ur = grow(self.ur, -1.0)
+        self.depth = grow(self.depth, -1.0)
+        self.octave = grow(self.octave)
+        up = np.zeros(cap_kf, bool)
+        up[: self.cap] = self.uploaded
+        self.uploaded = up
+        self.cap = cap_kf
+
+    def reset(self):
+        """After a map clear, keyframe slots are reused from 0 — force
+        re-uploads."""
+        self.uploaded[:] = False
+
+    def ensure(self, ks, m: MapStore):
+        self.maybe_grow(m.kf_capacity)
+        for k in ks:
+            if not self.uploaded[int(k)]:
+                self.set_from_host(int(k), m)
+
+    def gather_views(self, idx: np.ndarray, valid: np.ndarray,
+                     R: np.ndarray, t: np.ndarray) -> KFView:
+        """[T]-indexed stacked KFView: big fields gathered ON DEVICE, the
+        mutable mask/poses uploaded small."""
+        di = jnp.asarray(idx.astype(np.int32))
+        return KFView(
+            xy=self.xy[di], ur=self.ur[di], depth=self.depth[di],
+            octave=self.octave[di], desc=self.desc[di],
+            valid=jnp.asarray(valid),
+            R=jnp.asarray(R.astype(np.float32)),
+            t=jnp.asarray(t.astype(np.float32)),
+        )
 
 
 class LocalMapping:
@@ -57,8 +144,8 @@ class LocalMapping:
         self.enable_ba = enable_ba
         self._tri_fn = make_triangulate_fn(cfg)
         self._tri_batch_fn = make_triangulate_batch_fn(cfg)
-        self._fuse_fn = make_fuse_fn(cfg)
-        self._fuse_batch_fn = make_fuse_batch_fn(cfg)
+        self._fuse_fn = make_fuse_packed_fn(cfg)
+        self._fuse_batch_fn = make_fuse_batch_packed_fn(cfg)
         if not enable_ba:
             self._ba_fn = None
         elif cfg.optim.use_cg_local_ba:
@@ -76,8 +163,18 @@ class LocalMapping:
         self._finish_requested = False
         self._busy = False
         self.async_mode = False
+        # device-resident KF feature mirror (created at first insert)
+        self._devkf: Optional[DeviceKFStore] = None
 
-    def insert_keyframe(self, k: int, words=None):
+    def insert_keyframe(self, k: int, words=None, frame=None):
+        if frame is not None:
+            # adopt the tracking frame's device feature arrays (zero upload)
+            if self._devkf is None:
+                self._devkf = DeviceKFStore(
+                    self.map.kf_capacity, self.cfg.orb.n_features
+                )
+            self._devkf.maybe_grow(self.map.kf_capacity)
+            self._devkf.set_from_frame(k, frame)
         with self._cv:
             self.queue.append((k, words))
             self.abort_ba = True
@@ -140,6 +237,8 @@ class LocalMapping:
                 _time.sleep(0.001)
         self.recent.clear()
         self.abort_ba = False
+        if self._devkf is not None:
+            self._devkf.reset()  # KF slots restart at 0 after the map clear
 
     def _process(self, k: int, words=None):
         """Per-keyframe pipeline. The map lock is held only for the short
@@ -148,20 +247,32 @@ class LocalMapping:
         do not take Map::mMutexMapUpdate either; holding our coarse lock
         through ~300 ms of device work stalled the tracking lane in async
         mode, VERDICT r2 weak #5)."""
+        import time as _t
         lock = self.map.lock
+        _t0 = _t.perf_counter()
         with lock:
             if not self.map.kf_valid[k]:
                 return
             self._cull_recent_points(k)
+        _t1 = _t.perf_counter()
         self._mapping_device_pass(k)
+        _t2 = _t.perf_counter()
         if self.enable_ba and self.map.n_kf > 2 and not self.queue:
             self._local_ba(k)
+        _t3 = _t.perf_counter()
         with lock:
             self._cull_keyframes(k)
             self.map.write_epoch += 1  # snapshot caches must refresh
+        _t4 = _t.perf_counter()
         if self.loop_closer is not None:
             self.loop_closer.insert_keyframe(k, words)
             self.loop_closer.process_pending()
+        _t5 = _t.perf_counter()
+        self.sect_times["kf.cull_pts"] += _t1 - _t0
+        self.sect_times["kf.map_pass"] += _t2 - _t1
+        self.sect_times["kf.local_ba"] += _t3 - _t2
+        self.sect_times["kf.cull_kfs"] += _t4 - _t3
+        self.sect_times["kf.loop"] += _t5 - _t4
         # in async mode the occupancy grid follows the map from this worker
         # (the reference's GridMapping thread, GridMapping.cpp:21-70), keeping
         # the tracking lane free of grid work
@@ -173,43 +284,33 @@ class LocalMapping:
                 if loop_closed:
                     self.loop_closer.loop_closed_flag = False
                 self.grid_mapper.process_new(loop_closed)
+            self.sect_times["kf.grid"] += _t.perf_counter() - _t5
 
     # ------------------------------------------------------------------
     def _kf_view(self, k: int, unbound_only: bool) -> KFView:
-        valid = self.map.kf_feat_valid[k].copy()
-        if unbound_only:
-            valid &= self.map.kf_mp[k] < 0
-        return KFView(
-            xy=jnp.asarray(self.map.kf_xy[k]),
-            ur=jnp.asarray(self.map.kf_ur[k]),
-            depth=jnp.asarray(self.map.kf_depth[k]),
-            octave=jnp.asarray(self.map.kf_octave[k]),
-            desc=jnp.asarray(self.map.kf_desc[k]),
-            valid=jnp.asarray(valid),
-            R=jnp.asarray(self.map.kf_R[k]),
-            t=jnp.asarray(self.map.kf_t[k]),
-        )
+        view = self._kf_views([k], unbound_only, T_pad=1)
+        return jax.tree.map(lambda x: x[0], view)
 
     def _kf_views(self, ks, unbound_only: bool, T_pad: int) -> KFView:
         """Stacked [T_pad, ...] views for one batched dispatch; pad entries
         (duplicates of the first id) carry valid=False so they match nothing.
-        The fixed T_pad keeps one compiled program per shape."""
+        The fixed T_pad keeps one compiled program per shape.
+
+        Immutable feature data is GATHERED ON DEVICE from the DeviceKFStore
+        mirror (uploaded once per keyframe, free for KFs adopted from live
+        frames); only the mutable unbound/valid mask and poses upload here
+        (~20 KB vs the ~1.4 MB the full host stacks cost per pass over the
+        ~40 MB/s tunnel uplink)."""
         m = self.map
         idx = np.asarray(list(ks) + [int(ks[0])] * (T_pad - len(ks)), np.int64)
         valid = m.kf_feat_valid[idx].copy()
         if unbound_only:
             valid &= m.kf_mp[idx] < 0
         valid[len(ks):] = False
-        return KFView(
-            xy=jnp.asarray(m.kf_xy[idx]),
-            ur=jnp.asarray(m.kf_ur[idx]),
-            depth=jnp.asarray(m.kf_depth[idx]),
-            octave=jnp.asarray(m.kf_octave[idx]),
-            desc=jnp.asarray(m.kf_desc[idx]),
-            valid=jnp.asarray(valid),
-            R=jnp.asarray(m.kf_R[idx]),
-            t=jnp.asarray(m.kf_t[idx]),
-        )
+        if self._devkf is None:
+            self._devkf = DeviceKFStore(m.kf_capacity, self.cfg.orb.n_features)
+        self._devkf.ensure(idx, m)
+        return self._devkf.gather_views(idx, valid, m.kf_R[idx], m.kf_t[idx])
 
     # ------------------------------------------------------------------
     def _cull_recent_points(self, k: int):
@@ -322,10 +423,10 @@ class LocalMapping:
         if fuse is not None:
             _, chunks, args, back = fuse
             for chunk, views in chunks:
-                bf_b, acc_b, _ = self._fuse_batch_fn(self.cam, views, *args)
+                bf_b, acc_b, _ = self._fuse_batch_fn(self.cam, views, args)
                 dev.append((acc_b, bf_b))
             for bsel, bargs, view in back:
-                best_feat, accept, _ = self._fuse_fn(self.cam, view, *bargs)
+                best_feat, accept, _ = self._fuse_fn(self.cam, view, bargs)
                 dev.append((accept, best_feat))
         if not dev:
             return
@@ -435,14 +536,10 @@ class LocalMapping:
             sel = np.concatenate([ids, np.zeros(max(pad, 0), np.int64)])[:P0]
             valid = np.zeros(P0, bool)
             valid[: min(len(ids), P0)] = True
-            args = (
-                jnp.asarray(m.mp_pos[sel]),
-                jnp.asarray(m.mp_normal[sel]),
-                jnp.asarray(m.mp_min_dist[sel]),
-                jnp.asarray(m.mp_max_dist[sel]),
-                jnp.asarray(m.mp_desc[sel]),
-                jnp.asarray(valid),
-            )
+            args = jnp.asarray(pack_fuse_points(
+                m.mp_pos[sel], m.mp_normal[sel], m.mp_min_dist[sel],
+                m.mp_max_dist[sel], m.mp_desc[sel], valid,
+            ))
             TB = 8
             for s in range(0, len(targets), TB):
                 chunk = targets[s : s + TB]
@@ -471,11 +568,11 @@ class LocalMapping:
         _, chunks, args, back = fuse
         fwd_dev = []
         for chunk, views in chunks:
-            bf_b, acc_b, _ = self._fuse_batch_fn(self.cam, views, *args)
+            bf_b, acc_b, _ = self._fuse_batch_fn(self.cam, views, args)
             fwd_dev.append((chunk, acc_b, bf_b))
         back_dev = []
         for bsel, bargs, view in back:
-            best_feat, accept, _ = self._fuse_fn(self.cam, view, *bargs)
+            best_feat, accept, _ = self._fuse_fn(self.cam, view, bargs)
             back_dev.append((bsel, accept, best_feat))
         pulled = jax.device_get(
             [(a, b) for _, a, b in fwd_dev] + [(a, b) for _, a, b in back_dev]
@@ -511,14 +608,11 @@ class LocalMapping:
             pad = chunk - len(sub)
             sel = np.concatenate([sub, np.zeros(pad, np.int64)])
             valid = np.concatenate([np.ones(len(sub), bool), np.zeros(pad, bool)])
-            args = (
-                jnp.asarray(self.map.mp_pos[sel]),
-                jnp.asarray(self.map.mp_normal[sel]),
-                jnp.asarray(self.map.mp_min_dist[sel]),
-                jnp.asarray(self.map.mp_max_dist[sel]),
-                jnp.asarray(self.map.mp_desc[sel]),
-                jnp.asarray(valid),
-            )
+            args = jnp.asarray(pack_fuse_points(
+                self.map.mp_pos[sel], self.map.mp_normal[sel],
+                self.map.mp_min_dist[sel], self.map.mp_max_dist[sel],
+                self.map.mp_desc[sel], valid,
+            ))
             out.append((sel, args, view))
         return out
 
@@ -529,7 +623,7 @@ class LocalMapping:
             snaps = self._snapshot_fuse_into(ids, kt, chunk)
         dev = []
         for sel, args, view in snaps:
-            best_feat, accept, _ = self._fuse_fn(self.cam, view, *args)
+            best_feat, accept, _ = self._fuse_fn(self.cam, view, args)
             dev.append((sel, accept, best_feat))
         pulled = jax.device_get([(a, b) for _, a, b in dev])
         results = [(sel, acc, bf) for (sel, _, _), (acc, bf) in zip(dev, pulled)]
@@ -637,15 +731,14 @@ class LocalMapping:
                 Q_pad=Q,
                 obs_per_point_cap=Q,
                 pq_layout=use_cg,
+                device=False,  # uploads happen OUTSIDE the lock below
             )
 
-        # device solve — outside the map lock so tracking never stalls on it
+        # uploads + device solve — outside the map lock so the tracking lane
+        # never stalls on the worker's transfers
+        from ..optim.assemble import upload_problem
+        prob = upload_problem(prob)
         self.sect_times["ba.assemble"] += _time.perf_counter() - _ta
-        from ..utils.timing import fence as _fence
-        _tf = _time.perf_counter()
-        _fence(prob.obs_uvr)  # drain the assembly uploads (separates upload
-        #                       cost from dispatch cost in the profile)
-        self.sect_times["ba.upload_fence"] += _time.perf_counter() - _tf
         t0 = _time.perf_counter()
         if self.cfg.optim.use_cg_local_ba:
             # sync and async share the SAME two chunk programs (one jit

@@ -602,8 +602,10 @@ class LoopClosing:
                 P_pad = ((P_pad + n_dev - 1) // n_dev) * n_dev
             cam_free = kfs != 0  # gauge: first KF pinned (Optimizer.cc:104)
             prob, _, _, _ = assemble_ba_problem(
-                self.map, kfs, cam_free, mp, C_pad, P_pad, O_pad
+                self.map, kfs, cam_free, mp, C_pad, P_pad, O_pad, device=False
             )
+        from ..optim.assemble import upload_problem
+        prob = upload_problem(prob)  # uploads outside the map lock
 
         if self.mesh is not None:
             # sharded path: points/obs over the 'map' axis; camera updates

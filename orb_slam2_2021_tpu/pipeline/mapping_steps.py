@@ -308,9 +308,48 @@ def make_triangulate_batch_fn(cfg: SlamConfig):
     return jax.jit(jax.vmap(f, in_axes=(None, None, 0)))
 
 
+def pack_fuse_points(pos, normal, min_dist, max_dist, desc, valid) -> "np.ndarray":
+    """Pack the fuse candidate-point arrays into ONE [P, 17] f32 upload
+    (pos 3 | normal 3 | min 1 | max 1 | desc-bitcast 8 | valid 1): the
+    tunneled uplink pays ~per-transfer latency, so one buffer beats six."""
+    import numpy as _np
+
+    P = pos.shape[0]
+    out = _np.empty((P, 17), _np.float32)
+    out[:, 0:3] = pos
+    out[:, 3:6] = normal
+    out[:, 6] = min_dist
+    out[:, 7] = max_dist
+    out[:, 8:16] = desc.view(_np.float32) if desc.dtype == _np.uint32 \
+        else _np.asarray(desc, _np.uint32).view(_np.float32)
+    out[:, 16] = valid
+    return out
+
+
+def fuse_project_packed(cam: PinholeCamera, kf: KFView, packed,
+                        cfg: SlamConfig, radius_th: float = 3.0):
+    """fuse_project taking the single packed candidate buffer."""
+    desc = jax.lax.bitcast_convert_type(packed[:, 8:16], jnp.uint32)
+    return fuse_project(
+        cam, kf, packed[:, 0:3], packed[:, 3:6], packed[:, 6], packed[:, 7],
+        desc, packed[:, 16] > 0, cfg=cfg, radius_th=radius_th,
+    )
+
+
 @functools.lru_cache(maxsize=4)
 def make_fuse_fn(cfg: SlamConfig):
     return jax.jit(functools.partial(fuse_project, cfg=cfg))
+
+
+@functools.lru_cache(maxsize=4)
+def make_fuse_packed_fn(cfg: SlamConfig):
+    return jax.jit(functools.partial(fuse_project_packed, cfg=cfg))
+
+
+@functools.lru_cache(maxsize=4)
+def make_fuse_batch_packed_fn(cfg: SlamConfig):
+    f = functools.partial(fuse_project_packed, cfg=cfg)
+    return jax.jit(jax.vmap(f, in_axes=(None, 0, None)))
 
 
 @functools.lru_cache(maxsize=4)

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SlamConfig
-from ..frontend.frame import make_stereo_frame_fn, make_stereo_frame_u8_fn
+from ..frontend.frame import Frame, make_stereo_frame_fn, make_stereo_frame_u8_fn
 from ..mapping.map_store import MapStore
 from ..place.bundle import PlaceRecognition
 from .local_mapping import LocalMapping
@@ -170,29 +170,49 @@ class System:
         self.metrics.append(rec)
 
     # ------------------------------------------------------------------
-    def track_stereo(self, image_left, image_right, timestamp: float):
+    def _pack_stereo_u8(self, image_left, image_right) -> np.ndarray:
+        """Stack the pair as ONE uint8 upload payload (8x smaller than two
+        f32 transfers; cast back to f32 on device — frame.py
+        build_stereo_frame_from_u8)."""
+        il = np.asarray(image_left)
+        ir = np.asarray(image_right)
+        if il.dtype == np.uint8 and ir.dtype == np.uint8:
+            return np.stack([il, ir])
+        stacked = np.stack([il, ir])
+        if stacked.max() <= 1.0:
+            # float images normalized to [0,1] would quantize to
+            # near-binary under the uint8 cast (ADVICE r3 #6); the API
+            # contract is 0-255 intensity either way
+            stacked = stacked * 255.0
+        return np.clip(stacked, 0, 255).astype(np.uint8)
+
+    def prefetch_stereo(self, image_left, image_right):
+        """Enqueue the pair's device upload AHEAD of the frame that will
+        consume it and return the handle for track_stereo.
+
+        The remote-attached TPU's uplink moves ~40 MB/s with ~20 ms of
+        latency, so a KITTI-res uint8 pair costs ~45 ms — nearly half the
+        tracking lane. Uploads ride a DMA path that overlaps device compute,
+        so a driver that prefetches frame N+1 while frame N tracks hides the
+        transfer entirely (the host-side analogue of the reference's
+        dataset-reader pacing loop, arducam_images.cpp:144-187)."""
+        return self._frame_u8_fn(jnp.asarray(self._pack_stereo_u8(image_left, image_right)))
+
+    def track_stereo(self, image_left, image_right=None, timestamp: float = 0.0):
         """Per-frame stereo entry (System::TrackStereo, System.cc:167-216).
 
+        `image_left`/`image_right` are host images, or `image_left` may be a
+        prefetched frame handle from prefetch_stereo (image_right=None).
         Returns Tcw as (R, t) numpy arrays, or None while initializing/lost.
         """
         self._pre_frame()
         t0 = time.perf_counter()
-        # ship the pair as ONE stacked uint8 upload (8x smaller than two f32
-        # transfers; the cast back to f32 runs on device — frame.py
-        # build_stereo_frame_from_u8)
-        il = np.asarray(image_left)
-        ir = np.asarray(image_right)
-        if il.dtype == np.uint8 and ir.dtype == np.uint8:
-            stacked = np.stack([il, ir])
+        if isinstance(image_left, Frame):
+            frame = image_left  # prefetched Frame (prefetch_stereo)
         else:
-            stacked = np.stack([il, ir])
-            if stacked.max() <= 1.0:
-                # float images normalized to [0,1] would quantize to
-                # near-binary under the uint8 cast (ADVICE r3 #6); the API
-                # contract is 0-255 intensity either way
-                stacked = stacked * 255.0
-            stacked = np.clip(stacked, 0, 255).astype(np.uint8)
-        frame = self._frame_u8_fn(jnp.asarray(stacked))
+            frame = self._frame_u8_fn(
+                jnp.asarray(self._pack_stereo_u8(image_left, image_right))
+            )
         t1 = time.perf_counter()
         with self.map.lock:
             if self.async_mode and self.cfg.tracking.chained_lane:

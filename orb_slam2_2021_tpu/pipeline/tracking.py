@@ -424,7 +424,7 @@ class Tracking:
         words1 = self._compute_words(frame)
         if self.local_mapper is not None:
             self.local_mapper.insert_keyframe(k0, words0)
-            self.local_mapper.insert_keyframe(k1, words1)
+            self.local_mapper.insert_keyframe(k1, words1, frame=frame)
         self._mono_ref = None
         return True
 
@@ -471,7 +471,7 @@ class Tracking:
         self._stash_last_frame(frame, frame_id)
         words = self._compute_words(frame)
         if self.local_mapper is not None:
-            self.local_mapper.insert_keyframe(k, words)
+            self.local_mapper.insert_keyframe(k, words, frame=frame)
         return True
 
     # ------------------------------------------------------------------
@@ -1350,7 +1350,7 @@ class Tracking:
         self._bind_cur = bind
         words = self._compute_words(frame)
         if self.local_mapper is not None:
-            self.local_mapper.insert_keyframe(k, words)
+            self.local_mapper.insert_keyframe(k, words, frame=frame)
 
     def _compute_words(self, frame: Frame):
         """KF ComputeBoW (Frame.cc:447-454): descriptor -> word ids, pulled
