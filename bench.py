@@ -22,8 +22,11 @@ import time
 import numpy as np
 
 WARMUP_FRAMES = 12   # compile + cache warm (first KFs trigger BA compiles)
-N_FRAMES = 128       # full orbit + 200 deg of re-observation (loop fires:
-#                      ~5 return-sector KFs drive the consistency counter to 3)
+N_FRAMES = 144       # full orbit + 270 deg of re-observation: the loop's
+#                      covisibility-consistency counter (th=3) needs >= 3-4
+#                      return-sector keyframes, and the async worker's KF
+#                      cadence varies run to run (8-13 KFs observed) — the
+#                      longer overlap makes the fired loop robust to cadence
 SMALL = os.environ.get("BENCH_SMALL", "") == "1"  # CPU smoke mode
 
 
@@ -93,7 +96,7 @@ def main():
     # global BA (the out-and-back used through r02 never produced one —
     # VERDICT r2 weak #3) ----
     world = SyntheticCylinderWorld(cfg, seed=7)
-    gt = orbit_trajectory(n_frames, total_deg=560.0, r_orbit=1.5)
+    gt = orbit_trajectory(n_frames, total_deg=630.0, r_orbit=1.5)
     # pre-rendered (and disk-cached as uint8): host rasterization is dataset
     # I/O, not engine work — rendering 128 KITTI-res frames costs minutes
     cache = f"/tmp/bench_frames_{cfg.width}x{cfg.height}_n{n_frames}_s7.npz"
