@@ -77,6 +77,9 @@ def child(proc_id: int):
     cfg, cam, packed = build_problem()
     t_setup = time.time() - t0
 
+    # one warm iteration first so t_solve measures the steady state (the
+    # single-process comparison for the scaling story is timed warm too)
+    run_dist_gba(mesh, cfg.optim, cam, packed, n_iters=1)
     t1 = time.time()
     R, t, xw_local, costs = run_dist_gba(
         mesh, cfg.optim, cam, packed, n_iters=N_ITERS
