@@ -119,6 +119,29 @@ def shard_ba_problem(prob: BAProblem, n_dev: int) -> BAProblem:
     )
 
 
+def problem_pspec() -> BAProblem:
+    """The canonical partition layout: points/obs sharded over 'map',
+    cameras replicated."""
+    return BAProblem(
+        R=P(), t=P(), xw=P(AXIS),
+        obs_cam=P(AXIS), obs_pt=P(AXIS), obs_uvr=P(AXIS),
+        obs_inv_sigma2=P(AXIS), obs_valid=P(AXIS),
+        pt_obs=P(AXIS), cam_free=P(),
+    )
+
+
+def device_put_sharded_problem(prob: BAProblem, mesh: Mesh) -> BAProblem:
+    """ONE explicit placement of a shard_ba_problem output onto the mesh.
+
+    Without this, every jitted dist-step call re-commits the host arrays to
+    the required sharding — re-uploading the whole problem per LM iteration
+    over the ~40 MB/s tunnel (ADVICE r4 #3's round trip, per call)."""
+    return jax.tree.map(
+        lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec)),
+        prob, problem_pspec(),
+    )
+
+
 def make_dist_ba(cfg: OptimConfig, mesh: Mesh, iters1=None, iters2=None):
     """Build the shard_map-wrapped distributed BA step for a mesh with axis
     'map'. Call with a problem prepared by shard_ba_problem."""

@@ -397,62 +397,61 @@ class LocalMapping:
                 return
             self._merge_new_points(k, neighbors, match2_b, xw_b, ok_b)
 
-    def _mapping_device_pass(self, k: int):
-        """Combined CreateNewMapPoints + SearchInNeighbors with ONE
-        synchronized device->host read for the whole keyframe.
+    def _yield_device(self):
+        """Pacing point between device units (utils/pacer.py): in async mode
+        the worker defers its next dispatch while a tracking frame's device
+        section is in flight, so frames never queue behind bulk mapping
+        work on the single in-order device stream."""
+        p = getattr(self, "pacer", None)
+        if p is not None and self.async_mode:
+            p.yield_point()
 
-        The reference runs them sequentially (LocalMapping.cc:84-86) and the
-        r02 pipeline mirrored that with a read per stage — but every read on
-        the remote-attached TPU costs ~25 ms plus a stall on following
-        dispatches, and the mapping worker's reads stall the tracking lane's
-        chain too (one shared tunnel). Triangulation and both fuse directions
-        are snapshotted together (fuse thus projects the PRE-triangulation
-        point set; points created this keyframe fuse one keyframe later via
-        the two-hop target window — behavioral divergence bounded by one KF),
-        dispatched together, and read together."""
+    def _mapping_device_pass(self, k: int):
+        """Combined CreateNewMapPoints + SearchInNeighbors, executed as
+        BOUNDED device units (one dispatch + its read each) with a pacing
+        point before every unit.
+
+        The reference runs these stages sequentially on a dedicated core
+        (LocalMapping.cc:84-86); r04 batched them into one dispatch burst +
+        one read to save tunnel round trips — but that burst queues ~0.5 s of
+        device work ahead of the next tracking frame on the shared in-order
+        stream (measured: 100-450 ms fused.pull waits on KF frames). Units
+        keep the reference's overlap property: the tracking lane can
+        interleave between any two units. Fuse still projects the
+        PRE-triangulation point set (snapshot taken before the tri merge) —
+        same bounded one-KF divergence as the r04 batch."""
         m = self.map
         with m.lock:
             tri = self._snapshot_triangulation(k)
             fuse = self._snapshot_fuse(k)
 
-        dev = []
         if tri is not None:
             neighbors, view1, views2 = tri
+            self._yield_device()
             out = self._tri_batch_fn(self.cam, view1, views2)
-            dev.append(out[:3])
-        if fuse is not None:
-            _, chunks, args, back = fuse
-            for chunk, views in chunks:
-                bf_b, acc_b, _ = self._fuse_batch_fn(self.cam, views, args)
-                dev.append((acc_b, bf_b))
-            for bsel, bargs, view in back:
-                best_feat, accept, _ = self._fuse_fn(self.cam, view, bargs)
-                dev.append((accept, best_feat))
-        if not dev:
-            return
-        pulled = jax.device_get(dev)
-
-        with m.lock:
-            i = 0
-            if tri is not None:
-                match2_b, xw_b, ok_b = pulled[0]
-                i = 1
+            match2_b, xw_b, ok_b = jax.device_get(out[:3])
+            with m.lock:
                 if m.kf_valid[k]:
                     self._merge_new_points(k, neighbors, match2_b, xw_b, ok_b)
-            if fuse is not None:
-                _, chunks, args, back = fuse
-                fwd_sel = self._fuse_fwd_sel
-                for chunk, _views in chunks:
-                    acc_b, bf_b = pulled[i]
-                    i += 1
+        if fuse is not None:
+            _, chunks, args, back = fuse
+            fwd_sel = self._fuse_fwd_sel
+            for chunk, views in chunks:
+                self._yield_device()
+                bf_b, acc_b, _ = self._fuse_batch_fn(self.cam, views, args)
+                acc_b, bf_b = jax.device_get((acc_b, bf_b))
+                with m.lock:
                     for ti, kt in enumerate(chunk):
                         if m.kf_valid[kt]:
                             self._merge_fuse(fwd_sel, acc_b[ti], bf_b[ti], kt)
-                for bsel, _a, _v in back:
-                    accept, best_feat = pulled[i]
-                    i += 1
+            for bsel, bargs, view in back:
+                self._yield_device()
+                best_feat, accept, _ = self._fuse_fn(self.cam, view, bargs)
+                accept, best_feat = jax.device_get((accept, best_feat))
+                with m.lock:
                     if m.kf_valid[k]:
                         self._merge_fuse(bsel, accept, best_feat, k)
+            with m.lock:
                 touched = self._fuse_touched
                 if len(touched):
                     m.update_point_stats(np.asarray(touched, np.int64))
@@ -737,6 +736,7 @@ class LocalMapping:
         # uploads + device solve — outside the map lock so the tracking lane
         # never stalls on the worker's transfers
         from ..optim.assemble import upload_problem
+        self._yield_device()
         prob = upload_problem(prob)
         self.sect_times["ba.assemble"] += _time.perf_counter() - _ta
         t0 = _time.perf_counter()
@@ -807,12 +807,14 @@ class LocalMapping:
         R, t, xw = prob.R, prob.t, prob.xw
         lam = jnp.float32(ocfg.lm_lambda_init)
         active = prob.obs_valid.astype(jnp.float32)
+        self._yield_device()
         R, t, xw, lam, inlier = chunk1(
             self.cam, prob, R, t, xw, lam, active, jnp.bool_(True)
         )
         if not self.abort_ba:
             chunk2 = make_lm_chunk_pq(ocfg, ocfg.local_ba_iters2)
             active = inlier.astype(jnp.float32)
+            self._yield_device()
             R, t, xw, lam, inlier = chunk2(
                 self.cam, prob, R, t, xw, lam, active, jnp.bool_(False)
             )

@@ -231,14 +231,32 @@ class LoopClosing:
             f2, ids2, pc2, uv2, oct2 = self._kf_cam_points(int(kc))
             if len(f1) < 20 or len(f2) < 20:
                 continue
+
+            # pad both sides to power-of-two buckets: raw lengths would
+            # compile one matcher program per (n1, n2) pair, and first-loop
+            # compiles land inside the map lock on the live pipeline
+            def _mcap(n):
+                return max(256, int(2 ** np.ceil(np.log2(max(n, 2)))))
+
+            def _mpad(x, n, fill=0):
+                out = np.full((_mcap(n), *x.shape[1:]), fill, x.dtype)
+                out[:n] = x[:n]
+                return jnp.asarray(out)
+
+            n1, n2 = len(f1), len(f2)
             best_b, accept, dist = self._match_fn(
-                jnp.asarray(self.map.kf_desc[k, f1]), jnp.ones(len(f1), bool),
-                jnp.asarray(self.map.kf_angle[k, f1]),
-                jnp.asarray(self.map.kf_desc[int(kc), f2]), jnp.ones(len(f2), bool),
-                jnp.asarray(self.map.kf_angle[int(kc), f2]),
+                _mpad(self.map.kf_desc[k, f1], n1),
+                jnp.asarray(np.arange(_mcap(n1)) < n1),
+                _mpad(self.map.kf_angle[k, f1], n1),
+                _mpad(self.map.kf_desc[int(kc), f2], n2),
+                jnp.asarray(np.arange(_mcap(n2)) < n2),
+                _mpad(self.map.kf_angle[int(kc), f2], n2),
             )
-            accept = np.asarray(accept)
-            best_b = np.asarray(best_b)
+            accept = np.asarray(accept)[:n1]
+            best_b = np.asarray(best_b)[:n1]
+            # padded B-side slots can never be best (valid mask), but clamp
+            # defensively so a pad index can't address past f2
+            best_b = np.clip(best_b, 0, n2 - 1)
             if accept.sum() < 20:
                 continue
             m1 = np.nonzero(accept)[0]
@@ -520,12 +538,32 @@ class LoopClosing:
         fixed = np.zeros(K, bool)
         fixed[idx_of[loop_kf]] = True
 
+        # pad K (vertices) and E (edges) to power-of-two buckets: the jitted
+        # solver otherwise compiles one program per exact (K, E) — a fresh
+        # multi-second XLA compile at EVERY loop event, taken under the map
+        # lock (measured 10.4 s tracking stall at the bench's loop frame).
+        # Pad vertices are identity poses marked fixed; pad edges carry
+        # weight 0 (the solver's documented padding convention).
+        K_pad = max(32, int(2 ** np.ceil(np.log2(K))))
+        E = len(ei)
+        E_pad = max(256, int(2 ** np.ceil(np.log2(E))))
+        s_p = np.ones(K_pad, np.float32); s_p[:K] = s_arr
+        R_p = np.tile(np.eye(3, dtype=np.float32), (K_pad, 1, 1)); R_p[:K] = R_arr
+        t_p = np.zeros((K_pad, 3), np.float32); t_p[:K] = t_arr
+        fx_p = np.ones(K_pad, bool); fx_p[:K] = fixed
+        ei_p = np.zeros(E_pad, np.int32); ei_p[:E] = ei
+        ej_p = np.zeros(E_pad, np.int32); ej_p[:E] = ej
+        ms_p = np.ones(E_pad, np.float32); ms_p[:E] = ms
+        mR_p = np.tile(np.eye(3, dtype=np.float32), (E_pad, 1, 1)); mR_p[:E] = np.stack(mR)
+        mt_p = np.zeros((E_pad, 3), np.float32); mt_p[:E] = np.stack(mt)
+        w_p = np.zeros(E_pad, np.float32); w_p[:E] = wts
+
         g = PoseGraph(
-            s=jnp.asarray(s_arr), R=jnp.asarray(R_arr), t=jnp.asarray(t_arr),
-            edge_i=jnp.asarray(ei, jnp.int32), edge_j=jnp.asarray(ej, jnp.int32),
-            m_s=jnp.asarray(ms, jnp.float32), m_R=jnp.asarray(np.stack(mR)),
-            m_t=jnp.asarray(np.stack(mt)), weight=jnp.asarray(wts, jnp.float32),
-            fixed=jnp.asarray(fixed),
+            s=jnp.asarray(s_p), R=jnp.asarray(R_p), t=jnp.asarray(t_p),
+            edge_i=jnp.asarray(ei_p), edge_j=jnp.asarray(ej_p),
+            m_s=jnp.asarray(ms_p), m_R=jnp.asarray(mR_p),
+            m_t=jnp.asarray(mt_p), weight=jnp.asarray(w_p),
+            fixed=jnp.asarray(fx_p),
         )
         s_new, R_new, t_new = self._essential(g)
         s_new, R_new, t_new = map(np.asarray, (s_new, R_new, t_new))
@@ -604,16 +642,22 @@ class LoopClosing:
             prob, _, _, _ = assemble_ba_problem(
                 self.map, kfs, cam_free, mp, C_pad, P_pad, O_pad, device=False
             )
-        from ..optim.assemble import upload_problem
-        prob = upload_problem(prob)  # uploads outside the map lock
-
         if self.mesh is not None:
             # sharded path: points/obs over the 'map' axis; camera updates
-            # computed redundantly per device (parallel/dist_ba.py)
-            from ..parallel.dist_ba import make_dist_gba_iteration, shard_ba_problem
+            # computed redundantly per device (parallel/dist_ba.py).
+            # shard_ba_problem re-orders the HOST arrays — feeding it the
+            # host-assembled problem directly avoids a full upload+download
+            # round trip of the largest problem in the system (ADVICE r4 #3)
+            from ..parallel.dist_ba import (
+                device_put_sharded_problem,
+                make_dist_gba_iteration,
+                shard_ba_problem,
+            )
 
             n_dev = self.mesh.devices.size
-            prob = shard_ba_problem(prob, n_dev)
+            prob = device_put_sharded_problem(
+                shard_ba_problem(prob, n_dev), self.mesh
+            )
             if self._dist_step is None:
                 self._dist_step = make_dist_gba_iteration(
                     self.cfg.optim, self.mesh, self.cam
@@ -622,6 +666,9 @@ class LoopClosing:
                 prob, R, t, xw, lam, active, hub
             )
         else:
+            from ..optim.assemble import upload_problem
+
+            prob = upload_problem(prob)  # uploads outside the map lock
             step = make_gba_iteration(self.cfg.optim)
         R, t, xw = prob.R, prob.t, prob.xw
         lam = jnp.float32(self.cfg.optim.lm_lambda_init)
@@ -633,11 +680,17 @@ class LoopClosing:
         # the solve dispatch-bound. The abort check (mbStopGBA,
         # LoopClosing.cc:674-779) coarsens to the chunk boundary.
         n_total = self.cfg.optim.global_ba_iters
-        chunk = max(1, (n_total + 1) // 2)
+        # small chunks (2 iters) instead of half the solve per dispatch
+        # burst: each burst occupies the in-order device stream, and the
+        # pacer can only protect the tracking lane BETWEEN bursts
+        chunk = 2 if self.async_mode else max(1, (n_total + 1) // 2)
+        pacer = getattr(self, "pacer", None)
         done = 0
         while done < n_total:
             if self.stop_gba:
                 return  # aborted: discard (the superseding loop re-runs GBA)
+            if pacer is not None and self.async_mode:
+                pacer.yield_point()
             k = min(chunk, n_total - done)
             t0 = _time.perf_counter()
             for _ in range(k):

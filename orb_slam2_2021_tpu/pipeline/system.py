@@ -96,6 +96,17 @@ class System:
         if self.async_mode:
             import threading
 
+            from ..utils.pacer import DevicePacer
+
+            # priority scheduling of the single device stream: background
+            # threads yield between bounded device units so the tracking
+            # lane's dispatch+readback never queues behind a keyframe's bulk
+            # work (utils/pacer.py)
+            self.pacer = DevicePacer()
+            self.local_mapper.pacer = self.pacer
+            if self.loop_closer is not None:
+                self.loop_closer.pacer = self.pacer
+            self.tracker.pacer = self.pacer
             self.local_mapper.async_mode = True
             # the worker owns grid upkeep in async mode (the reference's
             # GridMapping thread, GridMapping.cpp:21-70) — the tracking lane
@@ -107,6 +118,15 @@ class System:
                 target=self.local_mapper.run_worker, daemon=True
             )
             self._worker.start()
+
+    # ------------------------------------------------------------------
+    def warmup(self, verbose: bool = False):
+        """Precompile the bucketed device programs (local-BA size buckets,
+        the loop-closure stack, global BA) so no XLA compile lands on the
+        tracking-critical path mid-run. See pipeline/warmup.py."""
+        from .warmup import warmup_system
+
+        warmup_system(self, verbose=verbose)
 
     # ------------------------------------------------------------------
     def reset(self):
@@ -170,23 +190,29 @@ class System:
         self.metrics.append(rec)
 
     # ------------------------------------------------------------------
-    def _pack_stereo_u8(self, image_left, image_right) -> np.ndarray:
+    def _pack_stereo_u8(self, image_left, image_right,
+                        normalized: Optional[bool] = None) -> np.ndarray:
         """Stack the pair as ONE uint8 upload payload (8x smaller than two
         f32 transfers; cast back to f32 on device — frame.py
-        build_stereo_frame_from_u8)."""
+        build_stereo_frame_from_u8).
+
+        Contract (ADVICE r4 #5): uint8 input is passed through; float input
+        is 0-255 intensity unless `normalized=True` ([0,1] scale, rescaled by
+        255). With normalized=None (callers that predate the flag), a float
+        pair whose max is <= 1.0 is ASSUMED normalized — a legitimately
+        near-black 0-255 float frame must pass normalized=False (or uint8)
+        to avoid the 255x brightening."""
         il = np.asarray(image_left)
         ir = np.asarray(image_right)
         if il.dtype == np.uint8 and ir.dtype == np.uint8:
             return np.stack([il, ir])
         stacked = np.stack([il, ir])
-        if stacked.max() <= 1.0:
-            # float images normalized to [0,1] would quantize to
-            # near-binary under the uint8 cast (ADVICE r3 #6); the API
-            # contract is 0-255 intensity either way
+        if normalized or (normalized is None and stacked.max() <= 1.0):
             stacked = stacked * 255.0
         return np.clip(stacked, 0, 255).astype(np.uint8)
 
-    def prefetch_stereo(self, image_left, image_right):
+    def prefetch_stereo(self, image_left, image_right,
+                        normalized: Optional[bool] = None):
         """Enqueue the pair's device upload AHEAD of the frame that will
         consume it and return the handle for track_stereo.
 
@@ -196,9 +222,12 @@ class System:
         so a driver that prefetches frame N+1 while frame N tracks hides the
         transfer entirely (the host-side analogue of the reference's
         dataset-reader pacing loop, arducam_images.cpp:144-187)."""
-        return self._frame_u8_fn(jnp.asarray(self._pack_stereo_u8(image_left, image_right)))
+        return self._frame_u8_fn(jnp.asarray(
+            self._pack_stereo_u8(image_left, image_right, normalized)
+        ))
 
-    def track_stereo(self, image_left, image_right=None, timestamp: float = 0.0):
+    def track_stereo(self, image_left, image_right=None, timestamp: float = 0.0,
+                     normalized: Optional[bool] = None):
         """Per-frame stereo entry (System::TrackStereo, System.cc:167-216).
 
         `image_left`/`image_right` are host images, or `image_left` may be a
@@ -211,21 +240,30 @@ class System:
             frame = image_left  # prefetched Frame (prefetch_stereo)
         else:
             frame = self._frame_u8_fn(
-                jnp.asarray(self._pack_stereo_u8(image_left, image_right))
+                jnp.asarray(self._pack_stereo_u8(image_left, image_right, normalized))
             )
         t1 = time.perf_counter()
-        with self.map.lock:
-            if self.async_mode and self.cfg.tracking.chained_lane:
-                # device-chained tracking lane: the per-frame result is
-                # consumed one frame late so its device->host read never
-                # stalls the chain (tracking.track_stereo_frame_pipelined).
-                # Opt-in (TrackingConfig.chained_lane): the lane must prove
-                # sync parity before carrying the bench (VERDICT r3 item 2)
-                pose = self.tracker.track_stereo_frame_pipelined(
-                    frame, self._frame_id, timestamp
-                )
-            else:
-                pose = self.tracker.track_stereo_frame(frame, self._frame_id, timestamp)
+        pacer = getattr(self, "pacer", None)
+        if pacer is not None:
+            pacer.frame_start()
+        try:
+            with self.map.lock:
+                if self.async_mode and self.cfg.tracking.chained_lane:
+                    # device-chained tracking lane: the per-frame result is
+                    # consumed one frame late so its device->host read never
+                    # stalls the chain (tracking.track_stereo_frame_pipelined).
+                    # Opt-in (TrackingConfig.chained_lane): the lane must prove
+                    # sync parity before carrying the bench (VERDICT r3 item 2)
+                    pose = self.tracker.track_stereo_frame_pipelined(
+                        frame, self._frame_id, timestamp
+                    )
+                else:
+                    pose = self.tracker.track_stereo_frame(
+                        frame, self._frame_id, timestamp
+                    )
+        finally:
+            if pacer is not None:
+                pacer.frame_end()
         t2 = time.perf_counter()
         self._post_track()
         t3 = time.perf_counter()

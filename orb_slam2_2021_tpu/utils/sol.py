@@ -44,12 +44,13 @@ class SolReport:
 
 
 def _time_device(fn, n=10):
-    # forced-readback fence timer: block_until_ready is not a reliable
-    # completion fence on the tunneled-TPU install (utils/timing.py docstring;
-    # VERDICT r3 Missing #3)
-    from .timing import time_device
+    # two-point slope with a forced-readback fence: block_until_ready is not
+    # a reliable completion fence on the tunneled-TPU install, and the chip
+    # is externally contended, so the fence cost must CANCEL rather than be
+    # subtracted (utils/timing.py time_device_slope docstring)
+    from .timing import time_device_slope
 
-    return time_device(fn, n=n)
+    return time_device_slope(fn)
 
 
 def hamming_matrix_sol(n=2000, m=2000) -> SolReport:
@@ -116,12 +117,15 @@ def ba_lm_step_sol(C=128, P=2048, Q=8) -> SolReport:
     onehot = _cam_onehot(prob)
     ocfg = cfg.optim
 
-    step = jax.jit(lambda: _cg_lm_step_rcs(
-        cam, prob, onehot, prob.R, prob.t, prob.xw,
+    # R/t/xw are real ARGUMENTS: a nullary closure lets XLA constant-fold
+    # the whole step into the executable and the "measurement" becomes
+    # constant materialization (observed: 0.0 ms on CPU)
+    step = jax.jit(lambda R, t, xw: _cg_lm_step_rcs(
+        cam, prob, onehot, R, t, xw,
         prob.obs_valid.astype(jnp.float32), jnp.float32(1e-4),
         jnp.bool_(True), ocfg, ocfg.cg_iters,
     ))
-    dt = _time_device(step)
+    dt = _time_device(lambda: step(prob.R, prob.t, prob.xw))
     bytes_obs = O * 105 * 4 * 2
     bytes_m = 2 * C * P * 18 * 4 * 2
     bytes_s = (2 * 6 * C * 3 * P + 36 * C * C) * 4
@@ -133,5 +137,32 @@ def ba_lm_step_sol(C=128, P=2048, Q=8) -> SolReport:
                      bytes_moved, flops_s)
 
 
-def run_all():
-    return [hamming_matrix_sol(), ba_lm_step_sol()]
+def run_all(trials: int = 2):
+    """Noise-robust speed-of-light report.
+
+    Each kernel is timed with the two-point slope estimator (fence cost
+    cancels; min-over-trials per endpoint — utils/timing.time_device_slope)
+    because the tunneled chip's throughput swings >10x between identical
+    trials seconds apart. The outer repeat's spread is reported so one lucky
+    draw can't masquerade as typical.
+    """
+    out = []
+    for fn in (hamming_matrix_sol, ba_lm_step_sol):
+        reps = [fn() for _ in range(trials)]
+        best = min(reps, key=lambda r: r.achieved_ms)
+        d = best.as_dict()
+        d["trials"] = trials
+        d["achieved_ms_spread"] = [
+            round(min(r.achieved_ms for r in reps), 3),
+            round(max(r.achieved_ms for r in reps), 3),
+        ]
+        out.append(_Shim(d))
+    return out
+
+
+class _Shim:
+    def __init__(self, d):
+        self._d = d
+
+    def as_dict(self):
+        return self._d

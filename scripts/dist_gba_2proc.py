@@ -106,8 +106,12 @@ def child(proc_id: int):
     # cameras + its point shards; proc 1 restores and verifies
     ckpt = os.path.join(OUT_DIR, "ckpt_proc0.npz")
     if proc_id == 0:
-        np.savez(ckpt, R=np.asarray(R), t=np.asarray(t),
+        # np.savez is not atomic: write to a temp path and os.rename into
+        # place so proc 1 can never observe a partially written zip
+        tmp = ckpt + ".tmp"
+        np.savez(tmp, R=np.asarray(R), t=np.asarray(t),
                  **{f"xw_{i}": a for i, a in xw_local.items()})
+        os.rename(tmp, ckpt)
     else:
         # proc 0 may still be writing: the coordinator barrier below already
         # synchronized the solve, so poll briefly
