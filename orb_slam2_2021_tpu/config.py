@@ -95,6 +95,10 @@ class OptimConfig:
     local_ba_iters1: int = 5        # LocalBundleAdjustment 5 + 10 (Optimizer.cc:662-712)
     local_ba_iters2: int = 10
     global_ba_iters: int = 10       # RunGlobalBundleAdjustment (LoopClosing.cc:54)
+    global_ba_obs_per_point: int = 16  # Q cap for the PQ/RCS global-BA path
+    #   (observations beyond this per point are dropped from GBA only; the
+    #   reference uses all edges, Optimizer.cc:51-240 — divergence documented
+    #   in loop_closing._run_global_ba)
     essential_iters: int = 20       # OptimizeEssentialGraph (Optimizer.cc:992)
     sim3_iters: int = 5             # OptimizeSim3 rounds (Optimizer.cc:1202: 5 then 10)
     lm_lambda_init: float = 1e-4    # g2o computes from diag; fixed init works with our scaling

@@ -88,6 +88,26 @@ def _residual_jacobians(cam: PinholeCamera, prob: BAProblem, R, t, xw):
     return r, Jc, Jp, chi2, behind
 
 
+def _residual_chi2(cam: PinholeCamera, prob: BAProblem, R, t, xw):
+    """chi2 [O] and behind [O] only — the LM accept/reject gate needs no
+    Jacobians; evaluating them there doubled the per-iteration block math."""
+    Rc = jnp.take(R, prob.obs_cam, axis=0)
+    tc = jnp.take(t, prob.obs_cam, axis=0)
+    Xw = jnp.take(xw, prob.obs_pt, axis=0)
+    Xc = smv(Rc, Xw) + tc
+    z = Xc[:, 2]
+    iz = 1.0 / jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    u = cam.fx * Xc[:, 0] * iz + cam.cx
+    v = cam.fy * Xc[:, 1] * iz + cam.cy
+    ur = u - cam.bf * iz
+    is_stereo = prob.obs_uvr[:, 2] >= 0
+    r3 = prob.obs_uvr - jnp.stack([u, v, ur], axis=1)
+    r2 = jnp.concatenate([r3[:, :2], jnp.zeros_like(r3[:, :1])], axis=1)
+    r = jnp.where(is_stereo[:, None], r3, r2)
+    chi2 = jnp.sum(r * r, axis=1) * prob.obs_inv_sigma2
+    return chi2, z <= 0
+
+
 def _total_cost(chi2, w_active, delta2, use_huber):
     rho = jnp.where(
         (chi2 <= delta2) | ~use_huber,
@@ -239,7 +259,7 @@ def ba_solve(
             )
             cost_old = _total_cost(chi2, active, delta2, use_huber)
             # recompute chi2 at the candidate
-            _, _, _, chi2_new, behind_new = _residual_jacobians(cam, prob, Rn, tn, xwn)
+            chi2_new, behind_new = _residual_chi2(cam, prob, Rn, tn, xwn)
             cost_new = _total_cost(chi2_new, active, delta2, use_huber)
             if axis_name is not None:
                 cost_old = jax.lax.psum(cost_old, axis_name)
@@ -261,7 +281,7 @@ def ba_solve(
     R, t, xw, lam = phase(R, t, xw, active0, lam0, iters_phase1, jnp.bool_(True))
 
     # outlier reclassification (Optimizer.cc:714-736)
-    _, _, _, chi2, behind = _residual_jacobians(cam, prob, R, t, xw)
+    chi2, behind = _residual_chi2(cam, prob, R, t, xw)
     is_stereo = prob.obs_uvr[:, 2] >= 0
     delta2 = jnp.where(is_stereo, cfg.chi2_stereo, cfg.chi2_mono)
     inlier = prob.obs_valid & (chi2 <= delta2) & (~behind)
@@ -269,7 +289,7 @@ def ba_solve(
 
     R, t, xw, _ = phase(R, t, xw, active1, lam0, iters_phase2, jnp.bool_(False))
 
-    _, _, _, chi2, behind = _residual_jacobians(cam, prob, R, t, xw)
+    chi2, behind = _residual_chi2(cam, prob, R, t, xw)
     inlier = prob.obs_valid & (chi2 <= delta2) & (~behind)
     return R, t, xw, inlier
 

@@ -234,7 +234,7 @@ def essential_graph_solve(
 
         x0 = jnp.zeros_like(b)
         (delta, _, _), _ = jax.lax.scan(
-            cg_body, (x0, b, b / diag), None, length=cg_iters
+            cg_body, (x0, b, b / diag), None, length=cg_iters, unroll=True
         )
         delta = delta * free * scale_mask[None]
 

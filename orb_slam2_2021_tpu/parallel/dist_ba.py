@@ -184,7 +184,7 @@ def make_dist_gba_iteration(cfg: OptimConfig, mesh: Mesh, cam):
     staleness protocol (mbStopGBA, LoopClosing.cc:604-608) works unchanged in
     the multi-chip configuration. `cam` (python-float PinholeCamera) is
     closed over. Call with a problem prepared by shard_ba_problem."""
-    from ..optim.ba import _residual_jacobians, _total_cost
+    from ..optim.ba import _residual_chi2, _residual_jacobians, _total_cost
     from ..optim.ba_cg import _cg_lm_step
 
     def local_step(prob: BAProblem, R, t, xw, lam, active, use_huber):
@@ -198,7 +198,7 @@ def make_dist_gba_iteration(cfg: OptimConfig, mesh: Mesh, cam):
         cost_old = jax.lax.psum(
             _total_cost(chi2, active, delta2, use_huber), AXIS
         )
-        _, _, _, chi2n, _ = _residual_jacobians(cam, prob_local, Rn, tn, xwn)
+        chi2n, _ = _residual_chi2(cam, prob_local, Rn, tn, xwn)
         cost_new = jax.lax.psum(
             _total_cost(chi2n, active, delta2, use_huber), AXIS
         )

@@ -714,6 +714,12 @@ class LocalMapping:
             # number of jit specializations tiny while the program tracks the
             # real problem size.
             if use_cg:
+                # bucket the CAMERA count too: the [P, C, 6, 3] Schur
+                # intermediate and the [6C, 6C] system scale with C, and a
+                # ~15-40-camera window padded to the 128 static max paid 3-4x
+                # the traffic the data warrants
+                C = max(32, 1 << (max(len(cams), 1) - 1).bit_length())
+                C = min(C, ocfg.local_ba_max_cams + ocfg.local_ba_max_fixed)
                 P = max(512, 1 << (max(len(mp), 1) - 1).bit_length())
                 P = min(P, ocfg.local_ba_max_points)
                 cam_lut = np.full(self.map.kf_capacity, -1, np.int64)

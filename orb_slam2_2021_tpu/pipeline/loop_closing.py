@@ -625,7 +625,7 @@ class LoopClosing:
         points created while the solve was in flight are corrected through
         the spanning tree (LoopClosing.cc:706-766)."""
         from ..optim.assemble import assemble_ba_problem, global_problem_shapes
-        from ..optim.ba_cg import make_gba_iteration
+        from ..optim.ba_cg import make_gba_iteration, make_lm_chunk_pq
 
         with self.map.lock:
             kfs = np.nonzero(self.map.kf_valid)[0]
@@ -635,13 +635,30 @@ class LoopClosing:
                 return
             n_obs = int(np.count_nonzero(self.map.mp_obs_kf[mp] >= 0))
             C_pad, P_pad, O_pad = global_problem_shapes(len(kfs), len(mp), n_obs)
-            if self.mesh is not None:
-                n_dev = self.mesh.devices.size
-                P_pad = ((P_pad + n_dev - 1) // n_dev) * n_dev
+            # PQ/RCS layout when the camera count allows it (single-device
+            # path): the flat layout's segment-sum scatters ran 76-400 ms per
+            # LM iteration on the chip vs ~1-2 ms for the dense reduced
+            # camera system (optim/ba_cg._cg_lm_step_rcs). Observations
+            # beyond global_ba_obs_per_point per point are dropped from GBA
+            # only — a documented divergence from Optimizer.cc:51-240, which
+            # uses all edges (orbit-scale points carry <= ~10 observers).
+            Qg = self.cfg.optim.global_ba_obs_per_point
+            use_rcs = self.mesh is None and C_pad <= 128
             cam_free = kfs != 0  # gauge: first KF pinned (Optimizer.cc:104)
-            prob, _, _, _ = assemble_ba_problem(
-                self.map, kfs, cam_free, mp, C_pad, P_pad, O_pad, device=False
-            )
+            if use_rcs:
+                prob, _, _, _ = assemble_ba_problem(
+                    self.map, kfs, cam_free, mp, C_pad, P_pad, O_pad=None,
+                    Q_pad=Qg, obs_per_point_cap=Qg, pq_layout=True,
+                    device=False,
+                )
+            else:
+                if self.mesh is not None:
+                    n_dev = self.mesh.devices.size
+                    P_pad = ((P_pad + n_dev - 1) // n_dev) * n_dev
+                prob, _, _, _ = assemble_ba_problem(
+                    self.map, kfs, cam_free, mp, C_pad, P_pad, O_pad,
+                    device=False,
+                )
         if self.mesh is not None:
             # sharded path: points/obs over the 'map' axis; camera updates
             # computed redundantly per device (parallel/dist_ba.py).
@@ -665,6 +682,16 @@ class LoopClosing:
             step = lambda cam, prob, R, t, xw, lam, active, hub: self._dist_step(
                 prob, R, t, xw, lam, active, hub
             )
+        elif use_rcs:
+            from ..optim.assemble import upload_problem
+
+            prob = upload_problem(prob)  # uploads outside the map lock
+            chunk_fn = make_lm_chunk_pq(self.cfg.optim, 1)  # 1 LM iter/call
+
+            def step(cam, prob, R, t, xw, lam, active, hub):
+                R, t, xw, lam, _inl = chunk_fn(cam, prob, R, t, xw, lam,
+                                               active, hub)
+                return R, t, xw, lam, None
         else:
             from ..optim.assemble import upload_problem
 

@@ -47,32 +47,12 @@ def _dummy_pq_problem(C: int, P: int, Q: int, rng):
         obs_uvr=jnp.asarray(uvr),
         obs_inv_sigma2=jnp.ones(O, jnp.float32),
         obs_valid=jnp.ones(O, bool),
-        pt_obs=None,
-    )
-
-
-def _dummy_flat_problem(C: int, P: int, O: int, rng):
-    from ..optim.ba import BAProblem
-
-    xw = rng.uniform(-10, 10, (P, 3)).astype(np.float32) + np.array(
-        [0, 0, 20], np.float32
-    )
-    obs_pt = rng.integers(0, P, O).astype(np.int32)
-    obs_cam = rng.integers(0, C, O).astype(np.int32)
-    u = 700.0 * xw[obs_pt, 0] / xw[obs_pt, 2] + 600.0
-    v = 700.0 * xw[obs_pt, 1] / xw[obs_pt, 2] + 180.0
-    uvr = np.stack([u, v, u - 1.0], 1).astype(np.float32)
-    return BAProblem(
-        R=jnp.asarray(np.tile(np.eye(3, dtype=np.float32), (C, 1, 1))),
-        t=jnp.zeros((C, 3), jnp.float32),
-        xw=jnp.asarray(xw),
-        cam_free=jnp.asarray(np.arange(C) > 0),
-        obs_cam=jnp.asarray(obs_cam),
-        obs_pt=jnp.asarray(obs_pt),
-        obs_uvr=jnp.asarray(uvr),
-        obs_inv_sigma2=jnp.ones(O, jnp.float32),
-        obs_valid=jnp.ones(O, bool),
-        pt_obs=None,
+        # production PQ assembly carries a [P, Q] int32 reverse index here
+        # (assemble.py:104), and the pytree structure + every leaf shape are
+        # part of the jit cache key: a None (or wrong-shaped dummy) warms a
+        # program the pipeline never calls (measured: every BA bucket
+        # recompiled mid-run despite warmup)
+        pt_obs=jnp.full((P, Q), -1, jnp.int32),
     )
 
 
@@ -90,7 +70,7 @@ def warmup_system(sys_, verbose: bool = False):
     """
     import time as _time
 
-    from ..optim.ba_cg import make_gba_iteration, make_lm_chunk_pq
+    from ..optim.ba_cg import make_lm_chunk_pq
 
     cfg = sys_.cfg
     ocfg = cfg.optim
@@ -103,15 +83,15 @@ def warmup_system(sys_, verbose: bool = False):
             print(f"[warmup] {label}: {_time.perf_counter() - t0:.1f}s",
                   flush=True)
 
-    # ---- local-BA chunks at each bucket ----
+    # ---- local-BA chunks at each (C, P, Q) bucket the window can reach
+    # (C buckets with the map's growth; huge C x P combos never co-occur) ----
     t0 = _time.perf_counter()
-    C = ocfg.local_ba_max_cams + ocfg.local_ba_max_fixed
-    p_buckets = []
-    p = 512
-    while p <= ocfg.local_ba_max_points:
-        p_buckets.append(p)
-        p *= 2
-    for P in p_buckets:
+    C_max = ocfg.local_ba_max_cams + ocfg.local_ba_max_fixed
+    cp_buckets = [(32, 512), (32, 1024), (32, 2048), (32, 4096),
+                  (64, 2048), (64, 4096), (128, 4096)]
+    for C, P in cp_buckets:
+        C = min(C, C_max)
+        P = min(P, ocfg.local_ba_max_points)
         for Q in (4, ocfg.local_ba_max_obs_per_point):
             prob = _dummy_pq_problem(C, P, Q, rng)
             lam = jnp.float32(ocfg.lm_lambda_init)
@@ -123,16 +103,16 @@ def warmup_system(sys_, verbose: bool = False):
                 fences.append(out[0])
     note("local-BA buckets", t0)
 
-    # ---- global-BA iteration at loop-scale buckets ----
+    # ---- global-BA iteration at loop-scale buckets (PQ/RCS path) ----
     t0 = _time.perf_counter()
-    gba = make_gba_iteration(ocfg)
-    for (Cg, Pg, Og) in ((64, 2048, 8192), (64, 4096, 16384),
-                         (64, 4096, 32768)):
-        prob = _dummy_flat_problem(Cg, Pg, Og, rng)
+    gba_chunk = make_lm_chunk_pq(ocfg, 1)
+    Qg = ocfg.global_ba_obs_per_point
+    for (Cg, Pg) in ((32, 2048), (32, 4096), (64, 4096), (64, 8192)):
+        prob = _dummy_pq_problem(Cg, Pg, Qg, rng)
         lam = jnp.float32(ocfg.lm_lambda_init)
         active = prob.obs_valid.astype(jnp.float32)
-        out = gba(cam, prob, prob.R, prob.t, prob.xw, lam, active,
-                  jnp.bool_(True))
+        out = gba_chunk(cam, prob, prob.R, prob.t, prob.xw, lam, active,
+                        jnp.bool_(True))
         fences.append(out[0])
     note("global-BA buckets", t0)
 
@@ -140,9 +120,10 @@ def warmup_system(sys_, verbose: bool = False):
     lc = sys_.loop_closer
     if lc is not None:
         t0 = _time.perf_counter()
-        # BoW pair matcher buckets (kf-to-kf bound-feature counts)
+        # BoW pair matcher buckets (kf-to-kf bound-feature counts): full
+        # cross product — the two sides' counts are independent
         for n1 in (256, 512, 1024, 2048):
-            for n2 in {max(256, n1 // 2), n1, min(2048, n1 * 2)}:
+            for n2 in (256, 512, 1024, 2048):
                 out = lc._match_fn(
                     jnp.zeros((n1, 8), jnp.uint32), jnp.ones(n1, bool),
                     jnp.zeros(n1, jnp.float32),

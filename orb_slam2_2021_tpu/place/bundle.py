@@ -19,6 +19,8 @@ from .vocab import BinaryVocabulary, make_transform_fn
 # families + photometric augmentation (scripts/train_vocab_l5.py); the
 # smaller L4 tree remains packaged for fast CPU tests via VOCAB_SMALL
 _DATA = os.path.join(os.path.dirname(__file__), "..", "data")
+PACKAGED_VOCAB_L6 = os.path.join(_DATA, "vocab_k10_L6.npz")  # 10^6 words,
+#   the reference's shipped scale (KeyFrame.cc:64-66); scripts/train_vocab_l6.py
 PACKAGED_VOCAB = os.path.join(_DATA, "vocab_k10_L5.npz")
 PACKAGED_VOCAB_SMALL = os.path.join(_DATA, "vocab_k10_L4.npz")
 
@@ -36,7 +38,7 @@ class PlaceRecognition:
 
     @staticmethod
     def load_default() -> Optional["PlaceRecognition"]:
-        for path in (PACKAGED_VOCAB, PACKAGED_VOCAB_SMALL):
+        for path in (PACKAGED_VOCAB_L6, PACKAGED_VOCAB, PACKAGED_VOCAB_SMALL):
             path = os.path.abspath(path)
             if os.path.exists(path):
                 return PlaceRecognition(BinaryVocabulary.load(path))

@@ -25,13 +25,27 @@ import jax
 import jax.numpy as jnp
 
 
+_POP8 = np.array([bin(i).count("1") for i in range(256)], np.uint8)
+
+
 def _popcount_np(x):
-    return np.unpackbits(x.view(np.uint8), axis=-1).sum(axis=-1)
+    # lookup-table popcount: unpackbits materialized an 8x [.., 256] uint8
+    # intermediate, which at vocabulary-training scale (millions of
+    # descriptors x k candidates) is gigabytes; the table costs 1x.
+    return _POP8[x.view(np.uint8)].sum(axis=-1, dtype=np.uint16)
 
 
-def _hamming_np(a, b):
-    """[N, 8] x [M, 8] -> [N, M] uint16 (numpy, for training)."""
-    return _popcount_np(a[:, None, :] ^ b[None, :, :]).astype(np.uint16)
+def _hamming_np(a, b, chunk: int = 262144):
+    """[N, 8] x [M, 8] -> [N, M] uint16 (numpy, for training; chunked over
+    N to bound the [chunk, M, 32]-byte popcount intermediate)."""
+    if len(a) <= chunk:
+        return _popcount_np(a[:, None, :] ^ b[None, :, :]).astype(np.uint16)
+    out = np.empty((len(a), len(b)), np.uint16)
+    for s in range(0, len(a), chunk):
+        out[s : s + chunk] = _popcount_np(
+            a[s : s + chunk, None, :] ^ b[None, :, :]
+        )
+    return out
 
 
 def _majority_centroid(descs):
@@ -94,16 +108,21 @@ class BinaryVocabulary:
         return (self.k ** (self.L + 1) - 1) // (self.k - 1)
 
     # ------------------------------------------------------------------
-    def transform_np(self, descs: np.ndarray) -> np.ndarray:
-        """[N, 8] -> [N] word ids (numpy reference implementation)."""
-        node = np.zeros(len(descs), np.int64)
-        for _ in range(self.L):
-            ch0 = node * self.k + 1
-            cand = self.node_desc[ch0[:, None] + np.arange(self.k)[None]]
-            d = _popcount_np(cand ^ descs[:, None, :])
-            node = ch0 + d.argmin(axis=1)
-        first_leaf = (self.k ** self.L - 1) // (self.k - 1)
-        return node - first_leaf
+    def transform_np(self, descs: np.ndarray, chunk: int = 262144) -> np.ndarray:
+        """[N, 8] -> [N] word ids (numpy reference implementation; chunked
+        so million-descriptor training corpora stay in memory)."""
+        out = np.empty(len(descs), np.int64)
+        for s in range(0, len(descs), chunk):
+            sub = descs[s : s + chunk]
+            node = np.zeros(len(sub), np.int64)
+            for _ in range(self.L):
+                ch0 = node * self.k + 1
+                cand = self.node_desc[ch0[:, None] + np.arange(self.k)[None]]
+                d = _popcount_np(cand ^ sub[:, None, :])
+                node = ch0 + d.argmin(axis=1)
+            first_leaf = (self.k ** self.L - 1) // (self.k - 1)
+            out[s : s + chunk] = node - first_leaf
+        return out
 
     def device_tree(self):
         return jnp.asarray(self.node_desc)

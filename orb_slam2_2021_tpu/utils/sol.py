@@ -126,12 +126,21 @@ def ba_lm_step_sol(C=128, P=2048, Q=8) -> SolReport:
         jnp.bool_(True), ocfg, ocfg.cg_iters,
     ))
     dt = _time_device(lambda: step(prob.R, prob.t, prob.xw))
+    # light model for the CURRENT algorithm (r5: single Cholesky-factored
+    # M~ = sum_q onehot*(W F) intermediate, symmetric S = M~ M~^T via
+    # dot_general — see ba_cg._cg_lm_step_rcs):
+    #   per-obs block build/consume ~105 f32/obs x produce+consume
+    #   onehot read [O, C]; M~ [C, P, 18] write + 2 reads (S product)
+    #   S write [6C, 6C]
     bytes_obs = O * 105 * 4 * 2
-    bytes_m = 2 * C * P * 18 * 4 * 2
-    bytes_s = (2 * 6 * C * 3 * P + 36 * C * C) * 4
-    bytes_cost = O * 33 * 4 * 2
-    bytes_moved = bytes_obs + bytes_m + bytes_s + bytes_cost
-    flops_s = 2.0 * (6 * C) * (6 * C) * (3 * P)
+    bytes_oh = O * C * 4
+    bytes_m = 3 * C * P * 18 * 4
+    bytes_s = 36 * C * C * 4
+    bytes_moved = bytes_obs + bytes_oh + bytes_m + bytes_s
+    # dominant FLOPs: the S product (2*(6C)^2*3P/2 exploiting symmetry is
+    # not what XLA emits — count the full product) at HIGH precision
+    # (3 bf16 passes per f32 matmul)
+    flops_s = 2.0 * (6 * C) * (6 * C) * (3 * P) * 3
     light = max(bytes_moved / HBM_BW, flops_s / 197e12)
     return SolReport(f"ba_lm_step_C{C}_P{P}_Q{Q}", 1e3 * dt, 1e3 * light,
                      bytes_moved, flops_s)
