@@ -66,12 +66,6 @@ class TrackingConfig:
     motion_search_radius: float = 7.0      # th=7 stereo SearchByProjection (Tracking.cc:905); widened 2x on retry (Tracking.cc:914)
     reloc_search_radius: float = 10.0
     local_points_cap: int = 4096           # static local-map snapshot size
-    # Device-chained tracking lane (track_stereo_frame_pipelined): consumes
-    # each frame's result one frame late so the device->host read never
-    # stalls the chain. OFF by default: the r3 lane lost ~40% of bench
-    # frames (VERDICT r3 item 2); async mode uses the per-frame fused path
-    # unless this is explicitly enabled after proving sync parity.
-    chained_lane: bool = False
 
 
 @dataclass(frozen=True)

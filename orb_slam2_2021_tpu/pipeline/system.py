@@ -248,19 +248,9 @@ class System:
             pacer.frame_start()
         try:
             with self.map.lock:
-                if self.async_mode and self.cfg.tracking.chained_lane:
-                    # device-chained tracking lane: the per-frame result is
-                    # consumed one frame late so its device->host read never
-                    # stalls the chain (tracking.track_stereo_frame_pipelined).
-                    # Opt-in (TrackingConfig.chained_lane): the lane must prove
-                    # sync parity before carrying the bench (VERDICT r3 item 2)
-                    pose = self.tracker.track_stereo_frame_pipelined(
-                        frame, self._frame_id, timestamp
-                    )
-                else:
-                    pose = self.tracker.track_stereo_frame(
-                        frame, self._frame_id, timestamp
-                    )
+                pose = self.tracker.track_stereo_frame(
+                    frame, self._frame_id, timestamp
+                )
         finally:
             if pacer is not None:
                 pacer.frame_end()
@@ -422,10 +412,6 @@ class System:
     def shutdown(self):
         """System::Shutdown (System.cc:352-376): finish the worker, wait for
         a running global BA, drain remaining work synchronously."""
-        with self.map.lock:
-            # drain the chained tracking lane (its last frame's result and
-            # keyframe decision are still pending)
-            self.tracker.flush_pipeline()
         if self.async_mode and self._worker is not None:
             self.local_mapper.request_finish()
             self._worker.join(timeout=300.0)

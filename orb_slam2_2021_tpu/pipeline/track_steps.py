@@ -287,145 +287,6 @@ def fused_track_step_packed(
     )
 
 
-def _mat9(R, t):
-    T = jnp.eye(4, dtype=jnp.float32)
-    T = T.at[:3, :3].set(R)
-    return T.at[:3, 3].set(t)
-
-
-def _rigid_mul(Ra, ta, Rb, tb):
-    """(Ra, ta) @ (Rb, tb) at HIGHEST precision — the chained pose math runs
-    every frame and feeds back into itself; the TPU's default bf16 matmul
-    passes compound into visible drift within tens of frames."""
-    from ..xmath import HIGHEST as _HI
-
-    R = jnp.matmul(Ra, Rb, precision=_HI)
-    t = jnp.matmul(Ra, tb[:, None], precision=_HI)[:, 0] + ta
-    return R, t
-
-
-def _rigid_inv(R, t):
-    """Analytic SE3 inverse: (R^T, -R^T t) — no linalg.inv, full precision."""
-    from ..xmath import HIGHEST as _HI
-
-    Ri = R.T
-    ti = -jnp.matmul(Ri, t[:, None], precision=_HI)[:, 0]
-    return Ri, ti
-
-
-def fused_track_step_chained(
-    cam: PinholeCamera,
-    kp: Keypoints,
-    feat_ur,
-    depth,
-    last_desc, last_octave, last_angle, last_kp_valid,  # prev frame (device)
-    state,          # [32 + N] f32: poses+flags header | snap_slot bitcast
-    slot_remap,     # [P] i32: old->new snapshot slot (identity when no refresh)
-    params,         # [8] f32: radius, depth_th, min_matched, min_in1, min_in2
-    snap_geom, snap_desc, snap_valid,
-    cfg: SlamConfig,
-):
-    """Device-CHAINED fused tracking step: pose prediction, last-frame
-    landmark geometry, and the verdict all live on device, so consecutive
-    frames chain WITHOUT a host round trip — the host consumes each frame's
-    packed result one frame late (copy_to_host_async) while the next frame's
-    chain is already in flight. On the remote-attached TPU a synchronous
-    read costs ~25 ms plus a pipeline stall; chaining hides it entirely.
-
-    State header layout (f32):
-      [0:9] R_cur, [9:12] t_cur      — pose of the previously chained frame
-      [12:21] R_prev, [21:24] t_prev — the frame before it
-      [24] ok (1.0 = chained prediction valid)
-    state[32:32+N] = per-feature snapshot-slot binding of the previous frame
-    (i32 bitcast, -1 unbound). Landmark positions are looked up in the
-    device-cached local-map snapshot; the host uploads `slot_remap` when it
-    refreshes the snapshot so chained slots survive the swap.
-
-    Returns (out [30 + N + P] i32 — same layout as fused_track_step_packed —
-    and new_state [32 + N] f32)."""
-    n = kp.capacity
-    P = snap_valid.shape[0]
-
-    R_cur = state[:9].reshape(3, 3)
-    t_cur = state[9:12]
-    R_prev = state[12:21].reshape(3, 3)
-    t_prev = state[21:24]
-    ok_prev = state[24] > 0.5
-
-    snap_slot_prev = jax.lax.bitcast_convert_type(state[32 : 32 + n], jnp.int32)
-    snap_slot_prev = jnp.where(
-        snap_slot_prev >= 0,
-        jnp.take(slot_remap, jnp.clip(snap_slot_prev, 0), mode="fill", fill_value=-1),
-        -1,
-    )
-
-    # constant-velocity prediction on device (Tracking.cc:887-948 mVelocity):
-    # T_pred = (T_cur T_prev^-1) T_cur, all in analytic rigid ops at HIGHEST
-    # precision (this chain feeds back into itself every frame)
-    Rpi, tpi = _rigid_inv(R_prev, t_prev)
-    Rv, tv = _rigid_mul(R_cur, t_cur, Rpi, tpi)
-    Rp, tp = _rigid_mul(Rv, tv, R_cur, t_cur)
-    R_pred = jnp.where(ok_prev, Rp, R_cur)
-    t_pred = jnp.where(ok_prev, tp, t_cur)
-    T_pred = _mat9(R_pred, t_pred)
-
-    # previous frame's landmark geometry from the snapshot
-    alive = (snap_slot_prev >= 0) & jnp.take(
-        snap_valid, jnp.clip(snap_slot_prev, 0), mode="fill", fill_value=False
-    )
-    last_xw = jnp.take(snap_geom[:, :3], jnp.clip(snap_slot_prev, 0), axis=0)
-    last_geom = jnp.concatenate(
-        [last_xw, alive.astype(jnp.float32)[:, None]], axis=1
-    )
-
-    pose_pack = jnp.zeros(16, jnp.float32)
-    pose_pack = pose_pack.at[:9].set(R_pred.reshape(-1))
-    pose_pack = pose_pack.at[9:12].set(t_pred)
-    pose_pack = pose_pack.at[12:15].set(params[:3])
-
-    out_f, out_i = fused_track_step(
-        cam, kp, feat_ur, depth,
-        last_desc, last_octave, last_angle, last_kp_valid,
-        last_geom, snap_slot_prev, pose_pack,
-        snap_geom, snap_desc, snap_valid,
-        cfg,
-    )
-
-    # decode the verdict + new bindings as snapshot slots
-    nm1 = out_f[12]
-    nin1 = out_f[13]
-    nin2 = out_f[14]
-    ok_new = (nm1 >= 20) & (nin1 >= params[3]) & (nin2 >= params[4])
-    enc = out_i[:n]
-    via_last = (enc >= 0) & (enc < n)
-    via_snap = enc >= n
-    snap_slot_new = jnp.where(
-        via_last, jnp.take(snap_slot_prev, jnp.clip(enc, 0, n - 1)), -1
-    )
-    snap_slot_new = jnp.where(via_snap, enc - n, snap_slot_new)
-
-    R_new = out_f[:9]
-    t_new = out_f[9:12]
-    header = jnp.zeros(32, jnp.float32)
-    header = header.at[:9].set(jnp.where(ok_new, R_new, T_pred[:3, :3].reshape(-1)))
-    header = header.at[9:12].set(jnp.where(ok_new, t_new, T_pred[:3, 3]))
-    header = header.at[12:21].set(state[:9])
-    header = header.at[21:24].set(state[9:12])
-    header = header.at[24].set(ok_new.astype(jnp.float32))
-    new_state = jnp.concatenate(
-        [header, jax.lax.bitcast_convert_type(snap_slot_new, jnp.float32)]
-    )
-    out = jnp.concatenate(
-        [jax.lax.bitcast_convert_type(out_f, jnp.int32), out_i]
-    )
-    return out, new_state
-
-
-@functools.lru_cache(maxsize=4)
-def make_fused_track_chained_fn(cfg: SlamConfig):
-    return jax.jit(functools.partial(fused_track_step_chained, cfg=cfg))
-
-
 def frame_pack_step(kp: Keypoints, feat_ur, depth):
     """Pack per-frame arrays for a SINGLE device->host pull pair (f32 + u32)
     at keyframe creation / initialization — the only times the host needs the

@@ -142,15 +142,6 @@ class Tracking:
         import collections as _collections
         self.sect_times = _collections.defaultdict(float)
         self.sect_counts = _collections.defaultdict(int)
-        # pipelined (device-chained) tracking lane state — see
-        # track_stereo_frame_pipelined
-        self._chained_fn = None      # built lazily (make_fused_track_chained_fn)
-        self._chain_state = None     # device [32+N] f32 chained state
-        self._chain_dirty = False    # in-flight step used a corrupted chain
-        self._pend = None            # (frame, frame_id, ts, out_dev, snap_ids, lf_mp)
-        self._remap_dev = None
-        self._id_remap_cache = None
-        self._params_dev = None
 
     # ------------------------------------------------------------------
     def track_stereo_frame(self, frame: Frame, frame_id: int, timestamp: float):
@@ -248,8 +239,7 @@ class Tracking:
             T_lc_w_new = (T_lc_w_old @ T_rw_old^-1) @ T_rw_new .
         The relative motion model (velocity = T_cur T_prev^-1) is invariant
         under this right-multiplication and needs no update. Returns True
-        when a rebase happened (the pipelined lane then drops its device
-        chain, whose header poses are stale)."""
+        when a rebase happened."""
         if self.last_pose is None or self._ref_anchor is None:
             return False
         k, R_old, t_old = self._ref_anchor
@@ -281,8 +271,7 @@ class Tracking:
                       ok: bool, n_kf0: int):
         """Shared per-frame tail (Tracking.cc:430-526): state transition,
         motion model, keyframe decision, trajectory record, last-frame stash,
-        metrics. Used by both the synchronous path and the pipelined
-        consume."""
+        metrics."""
         if ok:
             self.state = TrackState.OK
             self._update_motion_model()
@@ -788,8 +777,7 @@ class Tracking:
         """Device-cached local-map snapshot: re-uploaded only when the local
         keyframe set or the map content (write epoch) changes — per keyframe
         cadence, NOT per frame. Three packed uploads. Returns True when the
-        snapshot was actually rebuilt (the pipelined chain then needs a slot
-        remap)."""
+        snapshot was actually rebuilt."""
         key = (tuple(int(x) for x in local_kfs), self.map.write_epoch)
         if key == self._snap_key:
             return False
@@ -904,267 +892,6 @@ class Tracking:
         self.last_pose = (f[:9].reshape(3, 3).copy(), f[9:12].copy())
         return True
 
-    # ------------------------------------------------------------------
-    # Pipelined (device-chained) tracking lane.
-    #
-    # The synchronous hot path pays one device->host read per frame; on the
-    # remote-attached TPU that read costs ~25 ms plus a stall on following
-    # dispatches. Here pose prediction, landmark geometry, and the verdict
-    # chain on DEVICE (track_steps.fused_track_step_chained), the result is
-    # copy_to_host_async'd, and the host consumes it one frame late — by
-    # which time it has already arrived. Failures break the chain and the
-    # affected frames reprocess through the synchronous path (rare). The
-    # returned live pose is the constant-velocity prediction; the exported
-    # trajectory uses the exact consumed poses.
-    # ------------------------------------------------------------------
-    def track_stereo_frame_pipelined(self, frame: Frame, frame_id: int,
-                                     timestamp: float):
-        if self._rebase_on_map_correction():
-            # the device chain's header poses are pre-correction: consume the
-            # in-flight frame and reseed from the rebased host state
-            self.flush_pipeline()
-        if (self.state != TrackState.OK or self.only_tracking
-                or self.last_pose is None
-                or frame_id < self.last_reloc_frame_id
-                + self.cfg.tracking.max_frames_between_kf):
-            # the reloc window is excluded entirely: within it the host
-            # applies the boosted min_inliers_localmap_recent bar while the
-            # device verdict gates on the base threshold — chaining there
-            # would accept frames the host rejects (ADVICE r3 #5)
-            self.flush_pipeline()
-            return self.track_stereo_frame(frame, frame_id, timestamp)
-        if self._chain_state is None:
-            # consume the outstanding pending frame BEFORE reseeding: its
-            # result may have chained off corrupted state (_chain_dirty), and
-            # _init_chain must seed from the post-consume host state — seeding
-            # first would pair chain slots from last_frame_data with the
-            # pending frame's descriptors, committing wrong landmark
-            # associations (ADVICE r3 #2/#3)
-            self.flush_pipeline()
-            if not self._init_chain():
-                return self.track_stereo_frame(frame, frame_id, timestamp)
-
-        out_dev = self._dispatch_chained(frame)
-        pend, self._pend = self._pend, (
-            frame, frame_id, timestamp, out_dev, self._snap_ids,
-        )
-        if pend is not None:
-            self._consume_chained(pend)
-        if self.state != TrackState.OK:
-            return None
-        # live output: constant-velocity prediction for THIS frame (the exact
-        # pose lands in the trajectory records at the next consume)
-        R_l, t_l = self.last_pose
-        T_pred = (self.velocity @ _mat(R_l, t_l)) if self.velocity is not None \
-            else _mat(R_l, t_l)
-        return T_pred[:3, :3].copy(), T_pred[:3, 3].copy()
-
-    def flush_pipeline(self):
-        """Consume any in-flight chained frame (end of stream / mode switch)."""
-        if self._pend is not None:
-            pend, self._pend = self._pend, None
-            self._consume_chained(pend)
-        self._chain_state = None
-
-    def _identity_remap(self):
-        P = self.cfg.tracking.local_points_cap
-        if self._id_remap_cache is None:
-            self._id_remap_cache = jnp.arange(P, dtype=jnp.int32)
-        return self._id_remap_cache
-
-    def _init_chain(self) -> bool:
-        """Seed the device chain from the host state after a synchronous
-        frame: pose pair from (last_pose, velocity), bindings as snapshot
-        slots."""
-        lf = self.last_frame_data
-        if lf is None:
-            return False
-        if self.velocity is None:
-            # without a motion model the chained step would predict zero
-            # motion and search a 7 px window around it — exactly the
-            # situation the per-frame path routes to the WINDOW-FREE
-            # reference-KF matcher (Tracking.cc:777-819). Stay synchronous
-            # until a velocity exists (measured: seeding here broke the
-            # chain immediately with nin1=5 on an orbit at 4.4 deg/frame).
-            return False
-        ids = np.where(lf["mp"] >= 0, lf["mp"], -1)
-        live = self.map.resolve_replaced(ids)
-        alive = (live >= 0) & self.map.mp_valid[np.clip(live, 0, None)]
-        lm_ids = np.where(alive, live, -1)
-        matched = lm_ids[lm_ids >= 0]
-        if matched.size < 20:
-            return False
-        sel = self._select_local_kfs(matched)
-        if sel is None:
-            return False
-        self.ref_kf, local_kfs = sel
-        self._refresh_snapshot(local_kfs)
-        slots = np.where(
-            lm_ids >= 0, self._id2slot[np.clip(lm_ids, 0, None)], -1
-        ).astype(np.int32)
-        import os as _os
-        if _os.environ.get("CHAIN_DEBUG"):
-            n_b = int((lm_ids >= 0).sum())
-            n_s = int((slots >= 0).sum())
-            ok_rt = bool(
-                (self._snap_ids[slots[slots >= 0]] == lm_ids[slots >= 0]).all()
-            )
-            print(f"[init_chain] bound={n_b} in_snapshot={n_s} "
-                  f"roundtrip_ok={ok_rt} ref_kf={self.ref_kf} "
-                  f"n_local_kfs={len(local_kfs)}", flush=True)
-
-        R, t = self.last_pose
-        header = np.zeros(32, np.float32)
-        header[:9] = np.asarray(R, np.float32).reshape(-1)
-        header[9:12] = np.asarray(t, np.float32)
-        if self.velocity is not None:
-            T_prev = np.linalg.inv(self.velocity) @ _mat(R, t)
-            header[12:21] = T_prev[:3, :3].reshape(-1)
-            header[21:24] = T_prev[:3, 3]
-            header[24] = 1.0
-        else:
-            header[12:21] = header[:9]
-            header[21:24] = header[9:12]
-            header[24] = 0.0
-        self._chain_state = jnp.asarray(
-            np.concatenate([header, slots.view(np.float32)])
-        )
-        self._remap_dev = self._identity_remap()
-        # NOTE: _chain_dirty is NOT cleared here — only the flush/consume
-        # path may clear it, after the corrupted pending result is discarded
-        # (ADVICE r3 #2)
-        if self._chained_fn is None:
-            from .track_steps import make_fused_track_chained_fn
-
-            self._chained_fn = make_fused_track_chained_fn(self.cfg)
-        if self._params_dev is None:
-            params = np.zeros(8, np.float32)
-            params[0] = self.cfg.tracking.motion_search_radius
-            params[1] = self.cfg.resolved_depth_th()
-            params[2] = 20.0  # widened-retry trigger (Tracking.cc:914)
-            params[3] = self.cfg.tracking.min_inliers_track
-            params[4] = self.cfg.tracking.min_inliers_localmap
-            self._params_dev = jnp.asarray(params)
-        return True
-
-    def _dispatch_chained(self, frame: Frame):
-        lf_kp = (self._pend[0].kp if self._pend is not None
-                 else self.last_frame_data.kp)
-        out, new_state = self._chained_fn(
-            self.cam, frame.kp, frame.u_right, frame.depth,
-            lf_kp.desc, lf_kp.octave, lf_kp.angle, lf_kp.valid,
-            self._chain_state, self._remap_dev, self._params_dev,
-            *self._snap_dev,
-        )
-        out.copy_to_host_async()
-        self._chain_state = new_state
-        self._remap_dev = self._identity_remap()
-        return out
-
-    def _consume_chained(self, pend):
-        """Decode a chained frame's (already-arrived) result and run the
-        standard per-frame bookkeeping one frame late."""
-        frame, frame_id, timestamp, out_dev, snap_ids = pend
-        out = np.asarray(out_dev)
-        # enc in [0, N) refers to the PREVIOUS frame's feature slots; their
-        # map-point bindings are in last_frame_data's stash, which at consume
-        # time is exactly that frame (stashed by the previous consume)
-        lf_mp = None if self.last_frame_data is None else self.last_frame_data["mp"]
-        if self._chain_dirty or lf_mp is None:
-            # the step consumed a corrupted chain (a predecessor failed):
-            # discard and reprocess synchronously
-            self.sect_counts["chain.discard_dirty"] += 1
-            self._chain_dirty = False
-            self._chain_state = None
-            self.track_stereo_frame(frame, frame_id, timestamp)
-            return
-
-        f = out[:30].view(np.float32)
-        nm1, nin1, nin2 = int(f[12]), int(f[13]), int(f[14])
-        n = self.cfg.orb.n_features
-        n_kf0 = self.map.n_kf
-        if not hasattr(self, "chain_log"):
-            self.chain_log = []
-        if nm1 < 20 or nin1 < self.cfg.tracking.min_inliers_track:
-            # motion lane failed: break the chain, reprocess via the
-            # reference-KF path (the next pending frame used garbage state)
-            self.sect_counts["chain.break_motion"] += 1
-            self.chain_log.append(
-                ("break", frame_id, nm1, nin1, nin2))
-            self._chain_dirty = self._pend is not None
-            self._chain_state = None
-            self.velocity = None
-            self.track_stereo_frame(frame, frame_id, timestamp)
-            return
-
-        # decode bindings exactly as _track_fused does
-        ids = np.where(lf_mp >= 0, lf_mp, -1)
-        live = self.map.resolve_replaced(ids)
-        alive = (live >= 0) & self.map.mp_valid[np.clip(live, 0, None)]
-        lm_ids = np.where(alive, live, -1)
-        enc = out[30 : 30 + n]
-        visible = out[30 + n :] > 0
-        bind = np.full(n, -1, np.int64)
-        m1 = (enc >= 0) & (enc < n)
-        bind[m1] = lm_ids[enc[m1]]
-        m2 = enc >= n
-        bind[m2] = snap_ids[enc[m2] - n]
-        self._bind_cur = bind
-        self.map.increment_visible(snap_ids[visible & (snap_ids >= 0)])
-        self.map.increment_found(bind[bind >= 0])
-        self.n_inliers_last = nin2
-        self._kf_close_counts = (int(f[15]), int(f[16]))
-
-        min_in = self.cfg.tracking.min_inliers_localmap
-        if frame_id < self.last_reloc_frame_id + self.cfg.tracking.max_frames_between_kf:
-            min_in = max(min_in, int(round(
-                self.cfg.tracking.min_inliers_localmap_recent
-                * self._feature_scale())))
-        ok = nin2 >= min_in
-        if ok:
-            self.last_pose = (f[:9].reshape(3, 3).copy(), f[9:12].copy())
-            sel = self._select_local_kfs(bind[bind >= 0])
-            if sel is not None:
-                self.ref_kf = sel[0]
-                # refresh the snapshot for the NEXT dispatch; remap chained
-                # slots across the swap
-                old_ids = self._snap_ids
-                if self._refresh_snapshot(sel[1]):
-                    remap = np.where(
-                        old_ids >= 0,
-                        self._id2slot[np.clip(old_ids, 0, None)], -1
-                    ).astype(np.int32)
-                    self._remap_dev = jnp.asarray(remap)
-        else:
-            self.sect_counts["chain.break_localmap"] += 1
-            self.last_pose = (f[18:27].reshape(3, 3).copy(), f[27:30].copy())
-            self._chain_dirty = self._pend is not None
-            self._chain_state = None
-        import os as _os
-        if _os.environ.get("CHAIN_DEBUG"):
-            self.chain_log.append(("ok" if ok else "reject?", frame_id,
-                                   nm1, nin1, nin2))
-        self._finish_frame(frame, frame_id, timestamp, ok, n_kf0)
-        if not ok:
-            self.chain_log.append(("reject", frame_id, nm1, nin1, nin2))
-        if ok and self.map.n_kf > n_kf0:
-            self.sect_counts["chain.kf_resync"] += 1
-            self.chain_log.append(("kf", frame_id, nm1, nin1, nin2))
-            # a keyframe was just created from this frame: its new map-point
-            # bindings exist only on the host — the device chain would keep
-            # tracking WITHOUT them, starving the binding count, which (a)
-            # makes the NEXT consumed frame's inlier count fall under the
-            # c2 gate and spawn a spurious second keyframe one frame later
-            # (measured: KFs in pairs 6/7, 17/18, 30/31 ... on the orbit),
-            # and (b) collapses nin1 on the frame after that (measured
-            # breaks with nin1 <= 8). Resynchronize: drop the chain AND
-            # reprocess the in-flight frame synchronously at the flush so
-            # its bindings (and KF decision) see the new points. Pipelined
-            # between keyframes, sync at keyframes — KF creation is the
-            # reference's synchronization point too (Tracking.cc:1082-1162
-            # runs on the tracking thread).
-            self._chain_state = None
-            self._chain_dirty = self._pend is not None
 
     # ------------------------------------------------------------------
     def _track_local_map(self, frame: Frame, frame_id: int) -> bool:
@@ -1406,11 +1133,6 @@ class Tracking:
         self._snap_dev = None
         self._snap_ids = None
         self._kf_close_counts = None
-        # discard (not consume) any in-flight chained frame: the map the
-        # pending result refers to is being cleared
-        self._pend = None
-        self._chain_state = None
-        self._chain_dirty = False
         self._ref_anchor = None
 
     def _stash_last_frame(self, frame: Frame, frame_id: int = -1):
