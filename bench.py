@@ -67,6 +67,68 @@ def _frontend_fps(jax, jnp, cfg):
     return 1.0 / dt
 
 
+def _novel_frames(cfg, n_frames):
+    """Scenario B: out-and-back lateral dolly along a flat wall textured with
+    the CURVED-GRATING family — deliberately excluded from vocabulary
+    training (scripts/train_vocab_l6.py), so place recognition runs fully
+    out-of-distribution; the trajectory closes no large loop, separating
+    odometry throughput from loop robustness (the reference's two-sequence
+    practice, scripts/stereo_kitti_{full,red}.sh)."""
+    import sys as _sys
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                     "tests"))
+    from test_place_novel_family import grating_texture
+
+    from orb_slam2_2021_tpu.io.synthetic import (
+        SyntheticStereoWorld,
+        forward_trajectory,
+    )
+
+    half = n_frames // 2
+    out = forward_trajectory(half, step=0.14)
+    back = out[::-1][1 : n_frames - half + 1]
+    gt = out + back
+    cache = f"/tmp/bench_frames_novel_{cfg.width}x{cfg.height}_n{n_frames}.npz"
+    if os.path.exists(cache):
+        z = np.load(cache)
+        frames = [(z["l"][i], z["r"][i]) for i in range(len(gt))]
+    else:
+        world = SyntheticStereoWorld(cfg, seed=7700)
+        rng = np.random.default_rng(7700)
+        world.texture = grating_texture(rng, world.tex_h, world.tex_w)
+        frames = [world.render(R, t) for (R, t) in gt]
+        np.savez_compressed(
+            cache,
+            l=np.stack([np.clip(l, 0, 255).astype(np.uint8) for l, _ in frames]),
+            r=np.stack([np.clip(r, 0, 255).astype(np.uint8) for _, r in frames]),
+        )
+    gt_mats = []
+    for R_wc, t_wc in gt:
+        T = np.eye(4)
+        T[:3, :3] = R_wc
+        T[:3, 3] = t_wc
+        gt_mats.append(T)
+    return frames, gt_mats
+
+
+def _drive(sys_, frames, warmup_frames):
+    """Prefetch-pipelined drive (System.track_stereo_prefetch: the next
+    frame's upload + build enqueues between the current frame's dispatch and
+    readback); returns fps over the timed region."""
+    nxt = sys_.prefetch_stereo(frames[0][0], frames[0][1])
+    for i in range(warmup_frames):
+        nxt, cur = None, nxt
+        cur_imgs = frames[i + 1] if i + 1 < len(frames) else None
+        _, nxt = sys_.track_stereo_prefetch(cur, cur_imgs, timestamp=i * 0.1)
+    t_start = time.perf_counter()
+    for i in range(warmup_frames, len(frames)):
+        nxt, cur = None, nxt
+        cur_imgs = frames[i + 1] if i + 1 < len(frames) else None
+        _, nxt = sys_.track_stereo_prefetch(cur, cur_imgs, timestamp=i * 0.1)
+    return (len(frames) - warmup_frames) / (time.perf_counter() - t_start)
+
+
 def main():
     import jax
 
@@ -126,19 +188,7 @@ def main():
     # 10.4 s at the loop frame alone).
     if not SMALL:
         sys_.warmup()
-    nxt = sys_.prefetch_stereo(frames[0][0], frames[0][1])
-    for i in range(WARMUP_FRAMES):
-        cur = nxt
-        nxt = sys_.prefetch_stereo(frames[i + 1][0], frames[i + 1][1])
-        sys_.track_stereo(cur, timestamp=i * 0.1)
-    t_start = time.perf_counter()
-    for i in range(WARMUP_FRAMES, len(frames)):
-        cur = nxt
-        if i + 1 < len(frames):
-            nxt = sys_.prefetch_stereo(frames[i + 1][0], frames[i + 1][1])
-        sys_.track_stereo(cur, timestamp=i * 0.1)
-    e2e_dt = time.perf_counter() - t_start
-    e2e_fps = (len(frames) - WARMUP_FRAMES) / e2e_dt
+    e2e_fps = _drive(sys_, frames, WARMUP_FRAMES)
     sys_.shutdown()
 
     gt_mats = []
@@ -173,6 +223,46 @@ def main():
         else:
             lost_spans.append([f, f])
 
+    # per-frame time budget (VERDICT r5 item 1): tracking-lane sections in
+    # ms/frame plus the worker's cumulative device-unit seconds — the data
+    # behind BASELINE.md's budget table
+    n_timed = max(len(frames) - WARMUP_FRAMES, 1)
+    budget = {
+        f"track.{k}": round(1e3 * v / n_timed, 2)
+        for k, v in sorted(sys_.tracker.sect_times.items())
+    }
+    if sys_.local_mapper is not None:
+        budget.update({
+            f"worker.{k}_s": round(v, 2)
+            for k, v in sorted(sys_.local_mapper.sect_times.items())
+        })
+    pacer = getattr(sys_, "pacer", None)
+    if pacer is not None:
+        budget["worker.pacer_yield_s"] = round(pacer.yield_wait_s, 2)
+
+    # ---- scenario B: never-trained textures, no large loop (VERDICT r5
+    # item 7: the headline world's textures are vocabulary training data;
+    # this one's are out-of-distribution by construction) ----
+    novel = {}
+    if not SMALL:
+        try:
+            nframes_b, ngt = _novel_frames(cfg, 96)
+            sys_b = System(cfg, async_mode=True)
+            fps_b = _drive(sys_b, nframes_b, 8)
+            sys_b.shutdown()
+            est_b = sys_b.trajectory_kitti()
+            lost_b = [r["frame_id"] for r in sys_b.metrics
+                      if r.get("state") == "LOST"]
+            novel = {
+                "fps": round(fps_b, 2),
+                "ate_rmse_m": round(float(ate_rmse(est_b, ngt[: len(est_b)])), 4),
+                "n_loops": int(sys_b.loop_closer.n_loops),
+                "n_keyframes": int(sys_b.map.n_kf),
+                "n_lost_frames": len(lost_b),
+            }
+        except Exception as e:  # scenario B must not kill the headline
+            novel = {"error": str(e)}
+
     # speed-of-light utilization of the two dominant kernels (BASELINE.md
     # north star; bandwidth-bound MFU analogue — utils/sol.py)
     try:
@@ -199,6 +289,8 @@ def main():
             "n_lost_frames": len(lost_frames),
             "lost_spans": lost_spans,
             "median_frame_ms": round(1e3 * float(np.median(sys_.frame_times[WARMUP_FRAMES:])), 2),
+            "scenario_novel_texture": novel,
+            "frame_budget": budget,
             "speed_of_light": sol,
         },
     }))

@@ -36,7 +36,12 @@ def unpack_bits(a):
 
 
 def hamming_matrix(a, b):
-    """[N, 8] x [M, 8] -> [N, M] int32 distance matrix (one MXU matmul)."""
+    """[N, 8] x [M, 8] -> [N, M] int16 distance matrix (one MXU matmul).
+
+    int16 halves the dominant HBM traffic (the [N, M] write + its consumer
+    read); distances are <= 256 so the narrow type is exact, and every
+    consumer reduces/compares (argmin, thresholds) without arithmetic that
+    could overflow."""
     A = unpack_bits(a)
     B = unpack_bits(b)
     dot = jax.lax.dot_general(
@@ -44,7 +49,7 @@ def hamming_matrix(a, b):
     )
     pa = jnp.sum(A, axis=1, dtype=jnp.float32)
     pb = jnp.sum(B, axis=1, dtype=jnp.float32)
-    return (pa[:, None] + pb[None, :] - 2.0 * dot).astype(jnp.int32)
+    return (pa[:, None] + pb[None, :] - 2.0 * dot).astype(jnp.int16)
 
 
 def masked_best2(dist, mask, axis=1):

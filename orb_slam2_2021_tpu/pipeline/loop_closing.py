@@ -91,6 +91,10 @@ class LoopClosing:
         # (SURVEY.md §5 distributed-backend plan)
         self.mesh = None
         self._dist_step = None
+        # optional CROSS-PROCESS GBA client (parallel/gba_service.GbaClient):
+        # the live pipeline's global BA then executes over a multi-process
+        # jax.distributed mesh in lockstep with GbaServer processes
+        self.dist_gba = None
 
         self._sim3_ransac = make_sim3_ransac(fix_scale, 128)
         self._sim3_refine = make_sim3_refine(fix_scale)
@@ -643,7 +647,11 @@ class LoopClosing:
             # only — a documented divergence from Optimizer.cc:51-240, which
             # uses all edges (orbit-scale points carry <= ~10 observers).
             Qg = self.cfg.optim.global_ba_obs_per_point
-            use_rcs = self.mesh is None and C_pad <= 128
+            use_dist = self.dist_gba is not None
+            use_rcs = self.mesh is None and not use_dist and C_pad <= 128
+            if use_dist:
+                n_dev = self.dist_gba.mesh.devices.size
+                P_pad = ((P_pad + n_dev - 1) // n_dev) * n_dev
             cam_free = kfs != 0  # gauge: first KF pinned (Optimizer.cc:104)
             if use_rcs:
                 prob, _, _, _ = assemble_ba_problem(
@@ -659,6 +667,29 @@ class LoopClosing:
                     self.map, kfs, cam_free, mp, C_pad, P_pad, O_pad,
                     device=False,
                 )
+        if use_dist:
+            # LIVE cross-process path: ship the actual map's problem to every
+            # jax.distributed process and solve in lockstep over the global
+            # mesh (parallel/gba_service.py); abort (mbStopGBA) checks ride
+            # the leader's chunk markers so followers never enter a
+            # collective the leader abandoned
+            from ..parallel.dist_ba import shard_ba_problem
+
+            prob_np = shard_ba_problem(prob, self.dist_gba.mesh.devices.size)
+            self.gba_iter_times = []
+            out = self.dist_gba.solve(
+                prob_np, self.cfg.optim.global_ba_iters,
+                should_stop=lambda: self.stop_gba,
+                iter_times=self.gba_iter_times,
+            )
+            if out is None:
+                return  # aborted
+            R, t, xw = out
+            with self.map.lock:
+                if idx != self.full_ba_idx or self.stop_gba:
+                    return
+                self._gba_writeback(kfs, cam_free, mp, R, t, xw)
+            return
         if self.mesh is not None:
             # sharded path: points/obs over the 'map' axis; camera updates
             # computed redundantly per device (parallel/dist_ba.py).

@@ -262,6 +262,29 @@ class System:
         self._frame_id += 1
         return pose
 
+    def track_stereo_prefetch(self, frame, next_images, timestamp: float):
+        """Real-time drive pattern: track `frame` (a prefetched handle) and
+        enqueue the NEXT pair's upload + feature build at the optimal point —
+        between this frame's fused dispatch and its result readback, so the
+        build overlaps the readback instead of queuing ahead of it on the
+        in-order device stream. Returns (pose, next_frame_handle).
+
+        The host-side analogue of the reference's dataset-reader pacing loop
+        (arducam_images.cpp:144-187), adapted to a remote-attached device
+        where transfer/queue order is the bottleneck."""
+        if next_images is not None:
+            payload = jnp.asarray(self._pack_stereo_u8(*next_images))
+            self.tracker.prefetch_cb = lambda: self._frame_u8_fn(payload)
+        self.tracker.prefetch_result = None
+        pose = self.track_stereo(frame, timestamp=timestamp)
+        handle = self.tracker.prefetch_result
+        self.tracker.prefetch_cb = None
+        self.tracker.prefetch_result = None
+        if handle is None and next_images is not None:
+            # slow path (init / reloc / ref-KF track) skipped the hook
+            handle = self._frame_u8_fn(payload)
+        return pose, handle
+
     def track_monocular(self, image, timestamp: float):
         """System::TrackMonocular (System.cc:269-319)."""
         import functools as _ft

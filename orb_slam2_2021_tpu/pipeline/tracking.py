@@ -142,6 +142,10 @@ class Tracking:
         import collections as _collections
         self.sect_times = _collections.defaultdict(float)
         self.sect_counts = _collections.defaultdict(int)
+        # interleaved next-frame prefetch (System.track_stereo_prefetch):
+        # _track_fused invokes the callback between its dispatch and readback
+        self.prefetch_cb = None
+        self.prefetch_result = None
 
     # ------------------------------------------------------------------
     def track_stereo_frame(self, frame: Frame, frame_id: int, timestamp: float):
@@ -850,6 +854,16 @@ class Tracking:
             lf.kp.desc, lf.kp.octave, lf.kp.angle, lf.kp.valid,
             jnp.asarray(pack), *self._snap_dev,
         )
+        # interleaved prefetch (System.track_stereo_prefetch): the NEXT
+        # frame's upload + feature build enqueues here, BETWEEN this frame's
+        # dispatch and its readback, so the build executes while this pull's
+        # result transfers — enqueuing it before track_stereo instead put
+        # ~20 ms of build ahead of this pull in the in-order queue (measured
+        # fused.pull 72 ms/frame with build-first ordering)
+        cb = self.prefetch_cb
+        if cb is not None:
+            self.prefetch_result = cb()
+            self.prefetch_cb = None
         _t1 = _time.perf_counter()
         # ONE packed pull: out_f bitcast (30) | enc (N) | visible (P)
         out = np.asarray(out)

@@ -70,9 +70,14 @@ def hamming_matrix_sol(n=2000, m=2000) -> SolReport:
     b = jnp.asarray(rng.integers(0, 2 ** 32, (m, 8), dtype=np.uint32))
     f = jax.jit(hamming_matrix)
     dt = _time_device(lambda: f(a, b))
-    bytes_moved = 2.0 * n * m * 4 + (n + m) * 32
-    flops = 3.0 * n * m * 8
-    light = max(bytes_moved / HBM_BW, flops / PEAK_VPU_F32)
+    # int16 output (r5): one [N, M] write + one consumer read at 2 B each,
+    # plus the (tiny) packed inputs. NOTE the measured per-dispatch floor on
+    # this tunneled install is ~100 us — larger than this whole bound at
+    # N = M = 2000 — so pct_of_light at this size is launch-overhead-bound,
+    # not kernel-quality-bound (BASELINE.md gap analysis).
+    bytes_moved = 2.0 * n * m * 2 + (n + m) * 32
+    flops = 2.0 * n * m * 256  # bits matmul on the MXU
+    light = max(bytes_moved / HBM_BW, flops / 197e12)
     return SolReport("hamming_matrix_2k", 1e3 * dt, 1e3 * light, bytes_moved, flops)
 
 

@@ -82,19 +82,24 @@ def time_device_slope(fn, n_small: int = 10, n_large: int = 110,
     fence(out)
 
     def loop(n):
-        best = float("inf")
-        for _ in range(trials):
-            t0 = time.perf_counter()
-            o = None
-            for _ in range(n):
-                o = fn()
-            fence(o)
-            best = min(best, time.perf_counter() - t0)
-        return best
+        t0 = time.perf_counter()
+        o = None
+        for _ in range(n):
+            o = fn()
+        fence(o)
+        return time.perf_counter() - t0
 
-    t_small = loop(n_small)
-    t_large = loop(n_large)
-    return max(t_large - t_small, 1e-9) / (n_large - n_small)
+    # PAIRED slopes: each trial measures both loop lengths back-to-back (same
+    # contention weather), and the MEDIAN of per-trial slopes is reported.
+    # min-over-separate-runs was measurably biased here: a lucky long run
+    # paired with an unlucky short one produced impossible (<light, even
+    # negative) per-call times.
+    slopes = []
+    for _ in range(trials):
+        t_small = loop(n_small)
+        t_large = loop(n_large)
+        slopes.append(max(t_large - t_small, 1e-9) / (n_large - n_small))
+    return float(np.median(slopes))
 
 
 def time_device(fn, n: int = 10, warmup: int = 1) -> float:

@@ -10,8 +10,16 @@ forward/orbit viewpoints. The curved-grating family is deliberately
 EXCLUDED — it is the held-out generalization probe
 (tests/test_place_novel_family.py and the bench's novel-texture scenario).
 
-Usage: PYTHONPATH=/root/repo python scripts/train_vocab_l6.py [target_descs]
-(default 4,000,000; takes a few hours on this 2-core box — run niced).
+Two phases so the expensive part uses the right hardware:
+  harvest: render on CPU, EXTRACT ON THE TPU (the CPU extractor needs ~1.5 s
+           per 560x420 frame on this 2-core box vs ~25 ms on the chip) ->
+           descriptor corpus at /tmp/vocab_corpus_l6.npy
+  train:   CPU numpy k-medians over the saved corpus (hours; run niced in
+           the background) -> orb_slam2_2021_tpu/data/vocab_k10_L6.npz
+
+Usage:
+  python scripts/train_vocab_l6.py harvest [target_descs]   # TPU, ~20 min
+  nice python scripts/train_vocab_l6.py train               # CPU background
 """
 
 import os
@@ -23,7 +31,11 @@ sys.path.insert(0, os.path.dirname(_here))
 sys.path.insert(0, _here)
 
 import jax
-jax.config.update("jax_platforms", "cpu")
+
+MODE = sys.argv[1] if len(sys.argv) > 1 else "harvest"
+if MODE == "train":
+    # k-medians is pure numpy: stay off the TPU so it can bench concurrently
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp_cache")
 
@@ -46,6 +58,11 @@ from train_vocab_l5 import (  # texture generators + augmentation (4 families)
     turbulence_texture,
     voronoi_texture,
 )
+
+if MODE != "train":
+    # train_vocab_l5 forces jax_platforms=cpu at import; harvest extraction
+    # must run on the chip — restore the default platform order
+    jax.config.update("jax_platforms", "axon,cpu")
 
 
 def blob_texture(rng, h, w, n_blobs=140):
@@ -84,8 +101,55 @@ def ridged_texture(rng, h, w, octaves=5):
     return 255.0 * out / max(out.max(), 1e-6)
 
 
+CORPUS = "/tmp/vocab_corpus_l6.npy"
+
+
+def _bilinear_resize(img, h, w):
+    """Cheap numpy bilinear upscale (no cv2 in this image)."""
+    ih, iw = img.shape
+    ys = np.linspace(0, ih - 1.001, h)
+    xs = np.linspace(0, iw - 1.001, w)
+    y0 = ys.astype(int)[:, None]
+    x0 = xs.astype(int)[None, :]
+    fy = ys[:, None] - y0
+    fx = xs[None, :] - x0
+    return (img[y0, x0] * (1 - fy) * (1 - fx)
+            + img[y0, x0 + 1] * (1 - fy) * fx
+            + img[y0 + 1, x0] * fy * (1 - fx)
+            + img[y0 + 1, x0 + 1] * fy * fx).astype(np.float32)
+
+
+def _make_texture(fam, rng, th, tw):
+    """Generate the family texture at bounded resolution and upscale: the
+    cylinder worlds carry multi-megapixel textures (tex_w ~ 2*pi*fx*1.3)
+    and the O(sites * pixels) generators took minutes per world at full
+    size — the descriptor statistics only need the local structure, which
+    survives a 2-4x upscale."""
+    gh, gw = min(th, 640), min(tw, 960)
+    tex = fam(rng, gh, gw)
+    if (gh, gw) != (th, tw):
+        tex = _bilinear_resize(tex, th, tw)
+    return tex.astype(np.float32)
+
+
+def train_main():
+    corpus = np.load(CORPUS)
+    print(f"training k=10 L=6 on {len(corpus)} descriptors", flush=True)
+    t1 = time.time()
+    voc = train_vocabulary(corpus, k=10, L=6, seed=0)
+    print(f"trained in {time.time()-t1:.0f}s", flush=True)
+    out = "orb_slam2_2021_tpu/data/vocab_k10_L6.npz"
+    voc.save(out)
+    print("saved", out, flush=True)
+    words = voc.transform_np(corpus[:200000])
+    print("unique words in 200k sample:", len(np.unique(words)), flush=True)
+
+
 def main():
-    target = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+    if MODE == "train":
+        train_main()
+        return
+    target = int(sys.argv[2]) if len(sys.argv) > 2 else 4_000_000
     cfg = synthetic_config(width=560, height=420).replace(
         orb=OrbConfig(n_features=1600, n_levels=4)
     )
@@ -111,7 +175,7 @@ def main():
             world = SyntheticStereoWorld(cfg, seed=900 + seed)
             if fam is not None:
                 th, tw = world.texture.shape
-                world.texture = fam(wrng, th, tw).astype(np.float32)
+                world.texture = _make_texture(fam, wrng, th, tw)
             views = list(forward_trajectory(10, step=0.8))
         else:
             world = SyntheticCylinderWorld(
@@ -119,7 +183,7 @@ def main():
             )
             if fam is not None:
                 th, tw = world.texture.shape
-                world.texture = fam(wrng, th, tw).astype(np.float32)
+                world.texture = _make_texture(fam, wrng, th, tw)
             views = orbit_trajectory(10, total_deg=float(wrng.uniform(30, 150)),
                                      r_orbit=float(wrng.uniform(0.5, 3.0)))
         for (R, t) in views:
@@ -132,16 +196,9 @@ def main():
 
     corpus = np.concatenate(descs, axis=0)[:target]
     del descs
-    print(f"training k=10 L=6 on {len(corpus)} descriptors "
-          f"({seed} worlds, 6 texture families)", flush=True)
-    t1 = time.time()
-    voc = train_vocabulary(corpus, k=10, L=6, seed=0)
-    print(f"trained in {time.time()-t1:.0f}s", flush=True)
-    out = "orb_slam2_2021_tpu/data/vocab_k10_L6.npz"
-    voc.save(out)
-    print("saved", out, flush=True)
-    words = voc.transform_np(corpus[:200000])
-    print("unique words in 200k sample:", len(np.unique(words)), flush=True)
+    np.save(CORPUS, corpus)
+    print(f"harvested {len(corpus)} descriptors ({seed} worlds, 6 texture "
+          f"families) -> {CORPUS}", flush=True)
 
 
 if __name__ == "__main__":

@@ -213,3 +213,19 @@ class TestExtractPipeline:
         if close.sum() > 20:
             rel = (np.abs(zs - lam) / lam)[close]
             assert np.median(rel) < 0.05, f"close-range depth err {np.median(rel)}"
+
+
+class TestHammingPallas:
+    def test_matches_xla_formulation(self, rng):
+        """The fused Pallas kernel (ops/hamming_pallas.py) is bit-identical
+        to the XLA matmul formulation (interpret mode on CPU)."""
+        import jax.numpy as jnp
+
+        from orb_slam2_2021_tpu.ops.hamming import hamming_matrix
+        from orb_slam2_2021_tpu.ops.hamming_pallas import hamming_matrix_pallas
+
+        a = jnp.asarray(rng.integers(0, 2 ** 32, (200, 8), dtype=np.uint32))
+        b = jnp.asarray(rng.integers(0, 2 ** 32, (150, 8), dtype=np.uint32))
+        ref = np.asarray(hamming_matrix(a, b)).astype(np.int32)
+        out = np.asarray(hamming_matrix_pallas(a, b, interpret=True)).astype(np.int32)
+        assert (ref == out).all()

@@ -47,9 +47,9 @@ class TestVocabulary:
     def test_packaged_vocab_loads(self):
         pr = PlaceRecognition.load_default()
         assert pr is not None, "packaged vocabulary missing"
-        # default is the 10^5-word L5 tree (scripts/train_vocab_l5.py);
-        # the L4 fallback has 10^4
-        assert pr.voc.n_words in (100_000, 10_000)
+        # default is the 10^6-word L6 tree (scripts/train_vocab_l6.py, the
+        # reference's shipped scale, KeyFrame.cc:64-66); L5/L4 are fallbacks
+        assert pr.voc.n_words in (1_000_000, 100_000, 10_000)
         assert pr.voc.k == 10
 
     def test_l1_score_identical(self, small_voc, rng):
