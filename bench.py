@@ -28,6 +28,18 @@ N_FRAMES = 144       # full orbit + 270 deg of re-observation: the loop's
 #                      cadence varies run to run (8-13 KFs observed) — the
 #                      longer overlap makes the fired loop robust to cadence
 SMALL = os.environ.get("BENCH_SMALL", "") == "1"  # CPU smoke mode
+# determinism-series mode (BASELINE.md 5-run record): headline scenario only
+LEAN = os.environ.get("BENCH_LEAN", "") == "1"
+
+
+def _stage(msg):
+    import sys as _s
+
+    print(f"[bench +{time.perf_counter() - _T0:.1f}s] {msg}", file=_s.stderr,
+          flush=True)
+
+
+_T0 = time.perf_counter()
 
 
 def _frontend_fps(jax, jnp, cfg):
@@ -153,7 +165,8 @@ def main():
     else:
         cfg = kitti_stereo_config()
         n_frames = N_FRAMES
-    frontend_fps = _frontend_fps(jax, jnp, cfg)
+    _stage("frontend microloop")
+    frontend_fps = -1.0 if LEAN else _frontend_fps(jax, jnp, cfg)
 
     # ---- end-to-end system drive: a full-orbit circuit in the cylinder
     # world, so the headline number pays for a REAL fired loop closure +
@@ -187,7 +200,9 @@ def main():
     # first-appearance compiles cost ~14 s INSIDE the timed run (measured r5:
     # 10.4 s at the loop frame alone).
     if not SMALL:
+        _stage("warmup precompile")
         sys_.warmup()
+    _stage("headline drive")
     e2e_fps = _drive(sys_, frames, WARMUP_FRAMES)
     sys_.shutdown()
 
@@ -244,7 +259,8 @@ def main():
     # item 7: the headline world's textures are vocabulary training data;
     # this one's are out-of-distribution by construction) ----
     novel = {}
-    if not SMALL:
+    _stage("scenario B")
+    if not SMALL and not LEAN:
         try:
             nframes_b, ngt = _novel_frames(cfg, 96)
             sys_b = System(cfg, async_mode=True)
@@ -265,11 +281,16 @@ def main():
 
     # speed-of-light utilization of the two dominant kernels (BASELINE.md
     # north star; bandwidth-bound MFU analogue — utils/sol.py)
-    try:
-        from orb_slam2_2021_tpu.utils.sol import run_all as _sol_run
-        sol = [r.as_dict() for r in _sol_run()]
-    except Exception as e:  # never let the analysis kill the bench number
-        sol = [{"error": str(e)}]
+    _stage("speed-of-light probes")
+    if LEAN:
+        sol = []
+    else:
+        try:
+            from orb_slam2_2021_tpu.utils.sol import run_all as _sol_run
+            sol = [r.as_dict() for r in _sol_run()]
+        except Exception as e:  # never let the analysis kill the bench number
+            sol = [{"error": str(e)}]
+    _stage("done")
 
     print(json.dumps({
         "metric": "e2e_stereo_slam_fps",
